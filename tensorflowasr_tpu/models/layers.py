@@ -1,0 +1,227 @@
+"""Conformer building blocks as flax.linen modules.
+
+Architectural parity with the reference blocks
+(asr/models/conformer_blocks.py:10-274 in Z-yq/TensorflowASR):
+
+- GLU                 (:10-26)   split-in-2 gated linear unit
+- ConvSubsampling     (:67-104)  2x strided Conv2D -> merge freq x chan -> Dense
+- FFModule            (:107-146) LN -> Dense(4d) -> swish -> Dense(d), half residual
+- MHSAModule          (:149-179) LN -> MHA -> residual (NO positional encoding
+                                 in encoder self-attention — parity with the
+                                 commented-out pc at :157,165)
+- ConvModule          (:182-232) LN -> pw(2d) -> GLU -> depthwise-separable
+                                 conv -> BN -> swish -> pw(d) -> residual
+- ConformerBlock      (:235-274) FF/2 -> MHSA -> Conv -> FF/2 -> LN
+- PositionalEncoding  (layers/positional_encoding.py:19-53) interleaved sin/cos
+- RMHSAModule/RBlock  (:440-510) PE + cross-attention block for the Translator
+
+TPU notes: all matmuls run in ``dtype`` (bfloat16 by default in training)
+with float32 params and float32 layer/batch norms; convs are expressed as
+``lax.conv_general_dilated`` through flax Conv so XLA can fuse and tile them
+onto the MXU. Everything is static-shape.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def glu(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    a, b = jnp.split(x, 2, axis=axis)
+    return a * nn.sigmoid(b)
+
+
+class ConvSubsampling(nn.Module):
+    """[B, T, F, 1] -> [B, ceil(T / reduction_factor), odim].
+
+    Two 3x3 SAME convs with strides (rf/2, 2) and (2, 2), ReLU, then the
+    freq x channel dims merge into a Dense projection.
+    """
+
+    odim: int
+    reduction_factor: int = 4
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        assert self.reduction_factor % 2 == 0
+        x = x.astype(self.dtype)
+        x = nn.Conv(self.odim, (3, 3),
+                    strides=(self.reduction_factor // 2, 2),
+                    padding="SAME", dtype=self.dtype, name="conv1")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="SAME",
+                    dtype=self.dtype, name="conv2")(x)
+        x = nn.relu(x)
+        b, t, f, c = x.shape
+        x = x.reshape(b, t, f * c)
+        x = nn.Dense(self.odim, dtype=self.dtype, name="linear")(x)
+        x = nn.Dropout(self.dropout, deterministic=not training)(x)
+        return x
+
+
+class FFModule(nn.Module):
+    input_dim: int
+    dropout: float = 0.0
+    fc_factor: float = 0.5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        y = nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
+        y = nn.Dense(4 * self.input_dim, dtype=self.dtype, name="ffn1")(y)
+        y = nn.swish(y)
+        y = nn.Dropout(self.dropout, deterministic=not training)(y)
+        y = nn.Dense(self.input_dim, dtype=self.dtype, name="ffn2")(y)
+        y = nn.Dropout(self.dropout, deterministic=not training)(y)
+        return x + self.fc_factor * y
+
+
+class MHSAModule(nn.Module):
+    head_size: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, training: bool = False,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        y = nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            qkv_features=self.head_size * self.num_heads,
+            out_features=x.shape[-1],
+            dtype=self.dtype,
+            name="mha",
+        )(y, y, y, mask=mask)
+        y = nn.Dropout(self.dropout, deterministic=not training)(y)
+        return x + y
+
+
+class ConvModule(nn.Module):
+    input_dim: int
+    kernel_size: int = 32
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    padding: str = "SAME"  # 'SAME' offline, 'CAUSAL' for chunk variants
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        y = nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
+        # pointwise Conv1D(2d, k=1) == Dense
+        y = nn.Dense(2 * self.input_dim, dtype=self.dtype, name="pw_conv_1")(y)
+        y = glu(y)  # -> d channels
+        # SeparableConv1D(2d, k): depthwise over d then pointwise d -> 2d
+        y = nn.Conv(self.input_dim, (self.kernel_size,),
+                    feature_group_count=self.input_dim,
+                    padding=self.padding if self.padding != "CAUSAL"
+                    else [(self.kernel_size - 1, 0)],
+                    dtype=self.dtype, name="dw_conv")(y)
+        y = nn.Dense(2 * self.input_dim, dtype=self.dtype, name="dw_pw")(y)
+        y = nn.BatchNorm(use_running_average=not training,
+                         dtype=jnp.float32, name="bn")(y)
+        y = nn.swish(y)
+        y = nn.Dense(self.input_dim, dtype=self.dtype, name="pw_conv_2")(y)
+        y = nn.Dropout(self.dropout, deterministic=not training)(y)
+        return x + y
+
+
+class ConformerBlock(nn.Module):
+    input_dim: int
+    dropout: float = 0.0
+    fc_factor: float = 0.5
+    head_size: int = 36
+    num_heads: int = 4
+    kernel_size: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, training: bool = False,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        x = FFModule(self.input_dim, self.dropout, self.fc_factor,
+                     dtype=self.dtype, name="ff_module_1")(x, training)
+        x = MHSAModule(self.head_size, self.num_heads, self.dropout,
+                       dtype=self.dtype, name="mhsa")(x, training, mask)
+        x = ConvModule(self.input_dim, self.kernel_size, self.dropout,
+                       dtype=self.dtype, name="conv_module")(x, training)
+        x = FFModule(self.input_dim, self.dropout, self.fc_factor,
+                     dtype=self.dtype, name="ff_module_2")(x, training)
+        return nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
+
+
+def positional_encoding(length: int, dmodel: int) -> np.ndarray:
+    """Interleaved sin/cos PE table [length, dmodel]
+    (parity: asr/models/layers/positional_encoding.py:19-53)."""
+    pos = np.arange(length, dtype=np.float32)[:, None]
+    idx = np.arange(dmodel, dtype=np.float32)[None, :]
+    angle = pos / np.power(10000.0, (2.0 * (idx // 2)) / dmodel)
+    pe = np.zeros((length, dmodel), dtype=np.float32)
+    pe[:, 0::2] = np.sin(angle[:, 0::2])
+    pe[:, 1::2] = np.cos(angle[:, 1::2])
+    return pe
+
+
+class PositionalEncoding(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        t, d = x.shape[1], x.shape[2]
+        pe = jnp.asarray(positional_encoding(t, d), dtype=x.dtype)
+        return x + pe[None]
+
+
+class RMHSAModule(nn.Module):
+    """Cross-attention module of the Translator: PE(x) -> LN -> MHA(q=x,
+    kv=enc) -> residual (conformer_blocks.py:440-470)."""
+
+    head_size: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, enc: jnp.ndarray,
+                 training: bool = False) -> jnp.ndarray:
+        y = PositionalEncoding(dtype=self.dtype)(x)
+        y = nn.LayerNorm(dtype=jnp.float32, name="ln")(y)
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            qkv_features=self.head_size * self.num_heads,
+            out_features=x.shape[-1],
+            dtype=self.dtype,
+            name="mha",
+        )(y, enc, enc)
+        y = nn.Dropout(self.dropout, deterministic=not training)(y)
+        return x + y
+
+
+class RBlock(nn.Module):
+    """Translator block: FF/2 -> cross-MHSA -> Conv -> FF/2 -> LN
+    (conformer_blocks.py:472-510)."""
+
+    input_dim: int
+    dropout: float = 0.0
+    fc_factor: float = 0.5
+    head_size: int = 36
+    num_heads: int = 4
+    kernel_size: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, enc: jnp.ndarray,
+                 training: bool = False) -> jnp.ndarray:
+        x = FFModule(self.input_dim, self.dropout, self.fc_factor,
+                     dtype=self.dtype, name="ff_module_1")(x, training)
+        x = RMHSAModule(self.head_size, self.num_heads, self.dropout,
+                        dtype=self.dtype, name="rmhsa")(x, enc, training)
+        x = ConvModule(self.input_dim, self.kernel_size, self.dropout,
+                       dtype=self.dtype, name="conv_module")(x, training)
+        x = FFModule(self.input_dim, self.dropout, self.fc_factor,
+                     dtype=self.dtype, name="ff_module_2")(x, training)
+        return nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
