@@ -300,6 +300,28 @@ class ConformerCTC(nn.Module):
         char = self.translator(phone_ids, enc, training)
         return enc, ctc, char
 
+    def train_forward(self, wav, phones, input_length,
+                      training: bool = True):
+        """Single-apply forward for the CTC train step: encoder -> CTC
+        logits -> in-graph greedy decode -> translator on BOTH the ground
+        truth phones (+5 zero pad) and the decoded phones (parity:
+        ctc_runners.py:79-104). One apply keeps batch_stats mutation
+        atomic across all submodules."""
+        from tensorflowasr_tpu.ops.ctc import collapse_and_remove_blank
+
+        blank_id = self.num_phone_classes - 1
+        enc = self.encoder(wav, training)
+        ctc_logits = self.ctc_decoder(enc, training)
+        ids = jnp.argmax(
+            jax.lax.stop_gradient(ctc_logits.astype(jnp.float32)), axis=-1
+        ).astype(jnp.int32)
+        decoded, _ = collapse_and_remove_blank(ids, input_length, blank_id)
+        gt_in = jnp.concatenate(
+            [phones, jnp.zeros((phones.shape[0], 5), phones.dtype)], axis=1)
+        label_out = self.translator(gt_in, enc, training)
+        ctc_out = self.translator(decoded, enc, training)
+        return enc, ctc_logits, decoded, label_out, ctc_out
+
     def encode(self, wav, training: bool = False):
         return self.encoder(wav, training)
 

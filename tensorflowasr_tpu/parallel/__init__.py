@@ -1,0 +1,13 @@
+from tensorflowasr_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    data_parallel_shardings,
+)
+
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "data_parallel_shardings",
+]

@@ -1,0 +1,295 @@
+"""Data-parallel CTC training for the Conformer family.
+
+Re-designs the reference CTCTrainer (asr/trainer/ctc_runners.py:14-325 in
+Z-yq/TensorflowASR) as a pure jitted step over a device mesh:
+
+- the WHOLE train step (encoder fwd, CTC loss, in-graph greedy decode,
+  translator on both GT and decoded phones, backward, Adam update) is one
+  XLA program; the batch is sharded over the ``data`` mesh axis and params
+  are replicated, so the gradient all-reduce (the MirroredStrategy NCCL
+  all-reduce of the reference) is an XLA psum inserted automatically;
+- loss composition parity (ctc_runners.py:69-104):
+    mask_loss(l, p) = mean_t(CE) + sum(CE*need)/sum(need) + sum(CE*pad)/sum(pad)
+    translate_loss  = 2 * mask_loss(chars, translator(GT phones + 5 pad))
+                        + mask_loss(chars, translator(greedy CTC ids))
+    train_loss      = sum(ctc + 2 * translate) / global_batch
+- state (params, batch_stats, opt state, step) is donated to the step.
+
+Batch dict (all static shapes, host-side bucketing pads them):
+  wav [B, T] f32, input_length [B] i32 (encoder frames),
+  phones [B, L] i32, phone_length [B] i32, chars [B, U] i32.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import logging
+import os
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tensorflowasr_tpu.models.conformer import (
+    ConformerCTC,
+    ConformerConfig,
+    count_params,
+)
+from tensorflowasr_tpu.ops.ctc import ctc_greedy_decode, ctc_loss
+from tensorflowasr_tpu.parallel import mesh as mesh_lib
+from tensorflowasr_tpu.train.state import ASRTrainState, make_optimizer
+
+logger = logging.getLogger(__name__)
+
+
+def mask_loss(labels: jnp.ndarray, logits: jnp.ndarray) -> jnp.ndarray:
+    """Reference mask_loss (ctc_runners.py:69-76): per-example mean CE plus
+    two batch-global balance terms (non-pad mean and pad mean) broadcast
+    back onto the batch."""
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), labels)
+    need = (labels != 0).astype(jnp.float32)
+    zero = (labels == 0).astype(jnp.float32)
+    need_loss = jnp.sum(ce * need) / (jnp.sum(need) + 1e-6)
+    zero_loss = jnp.sum(ce * zero) / (jnp.sum(zero) + 1e-6)
+    return jnp.mean(ce, axis=-1) + need_loss + zero_loss
+
+
+def ctc_acc(labels: jnp.ndarray, decoded: jnp.ndarray) -> jnp.ndarray:
+    """Token accuracy over non-pad label positions (ctc_runners.py:44-61)."""
+    u = labels.shape[1]
+    t = decoded.shape[1]
+    if t < u:
+        decoded = jnp.pad(decoded, ((0, 0), (0, u - t)))
+    pred = decoded[:, :u]
+    maskv = (labels != 0).astype(jnp.float32)
+    match = (labels == pred).astype(jnp.float32)
+    per_ex = jnp.sum(match * maskv, -1) / (jnp.sum(maskv, -1) + 1e-6)
+    return jnp.mean(per_ex)
+
+
+def translate_acc(labels: jnp.ndarray, logits: jnp.ndarray) -> jnp.ndarray:
+    pred = jnp.argmax(logits, -1).astype(labels.dtype)[:, :labels.shape[1]]
+    need = (labels != 0).astype(jnp.float32)
+    match = (labels == pred).astype(jnp.float32)
+    return jnp.sum(match * need) / (jnp.sum(need) + 1e-6)
+
+
+def _loss_and_metrics(model: ConformerCTC, params, batch_stats, batch,
+                      dropout_rng, blank_id: int, training: bool):
+    variables = {"params": params}
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
+    mutable = (["batch_stats"] if training and batch_stats is not None
+               else False)
+    rngs = {"dropout": dropout_rng} if training else None
+
+    wav = batch["wav"]
+    input_length = batch["input_length"]
+    phones = batch["phones"]
+    phone_length = batch["phone_length"]
+    chars = batch["chars"]
+    u = chars.shape[1]
+
+    out = model.apply(variables, wav, phones, input_length,
+                      training=training, rngs=rngs, mutable=mutable,
+                      method=ConformerCTC.train_forward)
+    if mutable:
+        (enc, ctc_logits, decoded, label_out, ctc_out), new_vars = out
+        new_batch_stats = new_vars.get("batch_stats", batch_stats)
+    else:
+        enc, ctc_logits, decoded, label_out, ctc_out = out
+        new_batch_stats = None
+
+    per_ex_ctc = ctc_loss(ctc_logits, input_length, phones, phone_length,
+                          blank_id=blank_id)
+
+    tl_label = mask_loss(chars, label_out[:, :u])
+    tl_ctc = mask_loss(chars, ctc_out[:, :u])
+    translate_loss = tl_label * 2.0 + tl_ctc
+
+    # compute_average_loss parity: mean over the (global) batch
+    total = jnp.mean(per_ex_ctc + translate_loss * 2.0)
+
+    metrics = {
+        "ctc_loss": jnp.mean(per_ex_ctc),
+        "translate_loss": jnp.mean(translate_loss),
+        "train_loss": total,
+        "ctc_acc": ctc_acc(phones, decoded),
+        "translate_acc": translate_acc(chars, ctc_out),
+    }
+    return total, (metrics, new_batch_stats)
+
+
+def make_train_step(model: ConformerCTC, tx: optax.GradientTransformation,
+                    blank_id: int, donate: bool = True) -> Callable:
+    """Returns jitted (state, batch, rng) -> (state, metrics)."""
+
+    def step(state: ASRTrainState, batch: Dict[str, jnp.ndarray],
+             rng: jax.Array) -> Tuple[ASRTrainState, Dict[str, jnp.ndarray]]:
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        grad_fn = jax.value_and_grad(
+            lambda p: _loss_and_metrics(model, p, state.batch_stats, batch,
+                                        dropout_rng, blank_id, True),
+            has_aux=True)
+        (_, (metrics, new_stats)), grads = grad_fn(state.params)
+        state = state.apply_gradients(grads=grads)
+        if new_stats is not None:
+            state = state.replace(batch_stats=new_stats)
+        return state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model: ConformerCTC, blank_id: int) -> Callable:
+    def step(state: ASRTrainState, batch):
+        _, (metrics, _) = _loss_and_metrics(
+            model, state.params, state.batch_stats, batch,
+            jax.random.PRNGKey(0), blank_id, False)
+        return metrics
+
+    return jax.jit(step)
+
+
+def make_predict_step(model: ConformerCTC, blank_id: int) -> Callable:
+    """(state, wav, input_length) -> (phone ids, phone lens, char ids)."""
+
+    def step(state: ASRTrainState, wav, input_length):
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        enc = model.apply(variables, wav, method=ConformerCTC.encode)
+        logits = model.apply(variables, enc, method=ConformerCTC.ctc_logits)
+        phone_ids, phone_lens = ctc_greedy_decode(logits, input_length,
+                                                  blank_id=blank_id)
+        # inference pads decoded phones with 10 zeros before the translator
+        # (Inference/PythonInference/asr/src/asr.py:63-94)
+        padded = jnp.concatenate(
+            [phone_ids, jnp.zeros((phone_ids.shape[0], 10),
+                                  phone_ids.dtype)], axis=1)
+        char_logits = model.apply(variables, padded, enc,
+                                  method=ConformerCTC.translate)
+        char_ids = jnp.argmax(char_logits, -1).astype(jnp.int32)
+        return phone_ids, phone_lens, char_ids
+
+    return jax.jit(step)
+
+
+class CTCTrainer:
+    """Config-driven trainer: builds the model, optimizer, mesh, and the
+    jitted steps; runs the fit loop with log/eval/save intervals
+    (reference base_runners.py:143-227 semantics, orbax checkpoints)."""
+
+    def __init__(self, config, num_phone_classes: int,
+                 num_char_classes: int, blank_id: int,
+                 mesh=None, use_warmup: bool = False,
+                 compute_dtype: str = "float32"):
+        self.config = config
+        rc = config["running_config"] or {}
+        self.model_cfg = ConformerConfig.from_user_config(config)
+        if compute_dtype != "float32":
+            self.model_cfg = ConformerConfig(
+                **{**self.model_cfg.__dict__, "dtype_str": compute_dtype})
+        self.model = ConformerCTC(self.model_cfg, num_phone_classes,
+                                  num_char_classes)
+        if blank_id != num_phone_classes - 1:
+            raise ValueError(
+                "CTCTrainer requires blank as the last class "
+                "(blank_at_zero: False — parity with the shipped configs)")
+        self.blank_id = blank_id
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self.tx = make_optimizer(config["optimizer_config"],
+                                 dmodel=self.model_cfg.dmodel,
+                                 use_warmup=use_warmup)
+        self.train_step = make_train_step(self.model, self.tx, blank_id)
+        self.eval_step = make_eval_step(self.model, blank_id)
+        self.predict_step = make_predict_step(self.model, blank_id)
+        self.log_interval = rc["log_interval_steps"] or 100
+        self.save_interval = rc["save_interval_steps"] or 500
+        self.eval_interval = rc["eval_interval_steps"] or 500
+        self.outdir = rc["outdir"] or "./asr-logs"
+        self.state: Optional[ASRTrainState] = None
+        self._ckpt_mgr = None
+
+    # -- state ------------------------------------------------------------
+    def init_state(self, example_batch, seed: int = 0) -> ASRTrainState:
+        variables = self.model.init(
+            jax.random.PRNGKey(seed), example_batch["wav"][:1],
+            example_batch["phones"][:1])
+        state = ASRTrainState.create(
+            apply_fn=self.model.apply,
+            params=variables["params"],
+            tx=self.tx,
+            batch_stats=variables.get("batch_stats"),
+        )
+        self.state = mesh_lib.replicate(state, self.mesh)
+        n = count_params(variables["params"])
+        logger.info("model params: %s", f"{n:,}")
+        return self.state
+
+    @property
+    def checkpoint_manager(self):
+        if self._ckpt_mgr is None:
+            from tensorflowasr_tpu.train.checkpoint import CheckpointManager
+
+            self._ckpt_mgr = CheckpointManager(
+                os.path.join(self.outdir, "checkpoints"))
+        return self._ckpt_mgr
+
+    def save(self):
+        self.checkpoint_manager.save(int(self.state.step), self.state)
+
+    def restore(self) -> bool:
+        restored = self.checkpoint_manager.restore_latest(self.state)
+        if restored is not None:
+            self.state = restored
+            return True
+        return False
+
+    # -- loops ------------------------------------------------------------
+    def fit(self, train_iter, eval_iter=None, total_steps: int = 1000,
+            rng_seed: int = 0, metrics_path: Optional[str] = None):
+        assert self.state is not None, "call init_state first"
+        rng = jax.random.PRNGKey(rng_seed)
+        os.makedirs(self.outdir, exist_ok=True)
+        metrics_path = metrics_path or os.path.join(self.outdir,
+                                                    "metrics.jsonl")
+        t0 = time.time()
+        accum = []
+        with open(metrics_path, "a") as mf:
+            for _ in range(total_steps):
+                batch = next(train_iter)
+                batch = mesh_lib.shard_batch(batch, self.mesh)
+                self.state, metrics = self.train_step(self.state, batch, rng)
+                accum.append(metrics)
+                step = int(self.state.step)
+                if step % self.log_interval == 0:
+                    m = {k: float(np.mean([float(a[k]) for a in accum]))
+                         for k in accum[0]}
+                    m.update(step=step, wall_s=time.time() - t0)
+                    logger.info("train %s", m)
+                    mf.write(json.dumps(m) + "\n")
+                    mf.flush()
+                    accum = []
+                if eval_iter is not None and step % self.eval_interval == 0:
+                    em = self.evaluate(eval_iter)
+                    em.update(step=step, split="eval")
+                    logger.info("eval %s", em)
+                    mf.write(json.dumps(em) + "\n")
+                    mf.flush()
+                if step % self.save_interval == 0:
+                    self.save()
+        return self.state
+
+    def evaluate(self, eval_iter, max_batches: int = 50) -> dict:
+        out = []
+        for i, batch in enumerate(eval_iter):
+            if i >= max_batches:
+                break
+            batch = mesh_lib.shard_batch(batch, self.mesh)
+            out.append(self.eval_step(self.state, batch))
+        return {k: float(np.mean([float(m[k]) for m in out])) for k in out[0]}
