@@ -1,0 +1,79 @@
+"""Benchmark: offline ASR inference RTF per stream on real TPU hardware.
+
+Runs the flagship ConformerCTC(S) full pipeline (in-graph log-mel frontend
+-> 13-block encoder -> CTC decoder -> greedy decode -> translator) on
+batched 7-second utterances and reports real-time factor per stream.
+
+Baseline: the reference publishes RTF 0.056 for ConformerCTC(S) on one CPU
+core (README.md:170; BASELINE.md). vs_baseline = baseline_rtf / our_rtf
+(higher is better, >1 means faster than the reference).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tensorflowasr_tpu.models.conformer import (
+        ConformerCTC, ConformerConfig)
+    from tensorflowasr_tpu.ops.ctc import ctc_greedy_decode
+
+    n_phone, n_char = 231, 9161
+    cfg = ConformerConfig(dropout=0.0, ctcdecoder_dropout=0.0,
+                          translator_dropout=0.0, dtype_str="bfloat16")
+    model = ConformerCTC(cfg, n_phone, n_char)
+    blank = n_phone - 1
+
+    batch, seconds, sr = 16, 7, 16000
+    audio_seconds = batch * seconds
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal(
+        (batch, seconds * sr)).astype(np.float32) * 0.1)
+    input_length = jnp.full((batch,), seconds * 100 // 4, jnp.int32)
+
+    variables = model.init(jax.random.PRNGKey(0), wav[:1],
+                           jnp.ones((1, 8), jnp.int32))
+
+    @jax.jit
+    def pipeline(wav, input_length):
+        enc = model.apply(variables, wav, method=ConformerCTC.encode)
+        logits = model.apply(variables, enc, method=ConformerCTC.ctc_logits)
+        phone_ids, phone_lens = ctc_greedy_decode(logits, input_length,
+                                                  blank_id=blank)
+        padded = jnp.concatenate(
+            [phone_ids, jnp.zeros((phone_ids.shape[0], 10),
+                                  phone_ids.dtype)], axis=1)
+        char_logits = model.apply(variables, padded, enc,
+                                  method=ConformerCTC.translate)
+        return phone_ids, phone_lens, jnp.argmax(char_logits, -1)
+
+    # warmup / compile
+    out = pipeline(wav, input_length)
+    jax.block_until_ready(out)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = pipeline(wav, input_length)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    rtf = dt / audio_seconds  # per-stream real-time factor
+    baseline_rtf = 0.056      # README.md:170, 1 CPU core
+    print(json.dumps({
+        "metric": "offline_conformer_ctc_s_inference_rtf",
+        "value": rtf,
+        "unit": "rtf_per_stream",
+        "vs_baseline": baseline_rtf / rtf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
