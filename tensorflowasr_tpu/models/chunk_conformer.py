@@ -1,0 +1,798 @@
+"""Chunk-streaming (SMLTA2-style) Conformer — TPU-native, static shapes.
+
+Re-designs the reference ChunkConformer family
+(asr/models/chunk_conformer_blocks.py:23-1197 in Z-yq/TensorflowASR) as flax
+modules whose streaming state is a pytree of FIXED-SIZE ring buffers instead
+of the reference's growing ``tf.concat`` caches (which the reference trims
+back to win_front / kernel_size each step anyway — :545-560 — so static
+buffers are the natural TPU form):
+
+- ChunkConvSubsampling   'valid' causal variant (:23-99); stream state =
+                         [B, chunk/rf, n_mels, 1] mel tail
+- ChunkMHSA              banded attention: query i attends
+                         [i-win_front, i+win_back] with the reference's edge
+                         adjustments (_compute_chunk_mask :158-176); stream
+                         state = [B, win_front, d] pre-LN inputs
+- ChunkConv              causal depthwise-separable conv (:231-324); stream
+                         state = [B, kernel_size, d] raw inputs
+- ChunkBlock             FF/2 -> ChunkMHSA -> ChunkConv -> FF/2 -> LN (:327-397)
+- ChunkFront             'valid' mel + chunk subsampling (:400-458); stream
+                         state = [B, chunk_num*hop] wav tail + mel tail
+- ChunkStack             N blocks threading per-layer caches, valid/unvalid
+                         (lookahead) split (:462-568)
+- ChunkCTCDecoder        Dense -> M blocks -> Dense(classes) (:571-673)
+- ContextHelper          phone embedding + blocks; text-only ``phone_call``
+                         co-training path (:679-772)
+- ChunkConformer         front -> encoder -> phone picker -> feature_pick ->
+                         helper -> char decoder (:775-1197)
+
+``feature_pick`` (the SMLTA2 CTC-picker / length regulator, :913-999) is a
+fixed-capacity stable-argsort compaction instead of the reference's
+dynamic-shape ``tf.while_loop`` + ``tf.repeat``.
+
+Cold-start exactness. The reference's caches start at length 0 and GROW, so
+its streaming path never sees fake history. Our fixed-size buffers start
+zero-filled; exactness is restored by per-buffer validity bookkeeping:
+
+- wav / mel-tail buffers: zeros ARE the offline causal zero padding — exact
+  with no masking;
+- attention: invalid buffer slots are masked out of the key set (LayerNorm
+  of a zero row is the LN bias, i.e. a real key, so masking is required);
+- causal conv: the conv input (post pw1/GLU) is zeroed at invalid slots —
+  exactly the offline 'causal' zero pad, which keras applies at the conv
+  input, not the block input.
+
+With that, streaming from a cold start is numerically identical to the
+offline path (tested in tests/test_chunk.py — the reference's strongest
+consistency check, test_chunk_asr.py:126-139).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from tensorflowasr_tpu.models.layers import FFModule, glu
+from tensorflowasr_tpu.ops import frontend as fe
+
+
+# ---------------------------------------------------------------------------
+# Config
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ChunkStackConfig:
+    """One chunk-conformer stack (encoder / picker / decoder / helper)."""
+
+    dmodel: int = 144
+    num_blocks: int = 15
+    head_size: int = 36
+    num_heads: int = 4
+    kernel_size: int = 32
+    fc_factor: float = 0.5
+    dropout: float = 0.0
+    win_front: int = 36
+    win_back: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class ChunkConformerConfig:
+    """Mirror of chunk_conformerS.yml model_config."""
+
+    # front (ChunkConformerFront)
+    dmodel: int = 144
+    reduction_factor: int = 4
+    front_dropout: float = 0.0
+    sample_rate: int = 16000
+    n_mels: int = 80
+    mel_layer_trainable: bool = False
+    stride_ms: int = 10
+    chunk_num: int = 16          # mel frames per streaming step (>= 14)
+    # stacks
+    encoder: ChunkStackConfig = ChunkStackConfig(num_blocks=15)
+    picker: ChunkStackConfig = ChunkStackConfig(num_blocks=1)
+    decoder: ChunkStackConfig = ChunkStackConfig(num_blocks=1, win_back=8)
+    helper: ChunkStackConfig = ChunkStackConfig(num_blocks=2)
+    dtype_str: str = "float32"
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.dtype_str)
+
+    @property
+    def hop(self) -> int:
+        return self.sample_rate * self.stride_ms // 1000
+
+    @property
+    def chunk_samples(self) -> int:
+        """Wav samples per streaming step (== wav_buf_length, :430)."""
+        return self.chunk_num * self.hop
+
+    @property
+    def sub_length(self) -> int:
+        """Encoder frames per streaming step (:438)."""
+        return self.chunk_num // self.reduction_factor
+
+    @classmethod
+    def from_user_config(cls, config) -> "ChunkConformerConfig":
+        mc = config["model_config"] or {}
+
+        def stack(section, **defaults) -> ChunkStackConfig:
+            d = dict(section or {})
+            keys = ("dmodel", "num_blocks", "head_size", "num_heads",
+                    "kernel_size", "fc_factor", "dropout", "win_front",
+                    "win_back")
+            kw = {k: d[k] for k in keys if k in d}
+            return ChunkStackConfig(**{**defaults, **kw})
+
+        front = dict(mc.get("ChunkConformerFront") or {})
+        return cls(
+            dmodel=front.get("dmodel", 144),
+            reduction_factor=front.get("reduction_factor", 4),
+            front_dropout=front.get("dropout", 0.0),
+            sample_rate=front.get("sample_rate", 16000),
+            n_mels=front.get("n_mels", 80),
+            mel_layer_trainable=front.get("mel_layer_trainable", False),
+            stride_ms=front.get("stride_ms", 10),
+            chunk_num=front.get("chunk_num", 16),
+            encoder=stack(mc.get("ChunkConformerEncoder"), num_blocks=15),
+            picker=stack(mc.get("ChunkCTCPicker"), num_blocks=1),
+            decoder=stack(mc.get("ChunkCTCDecoder"), num_blocks=1,
+                          win_back=8),
+            helper=stack(mc.get("ContextHelper"), num_blocks=2),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Masks / validity
+# ---------------------------------------------------------------------------
+
+def chunk_band_mask(t: int, win_front: int, win_back: int) -> jnp.ndarray:
+    """Offline banded mask [t, t]: query i attends keys [i-wf, i+wb] with the
+    reference's edge adjustments (_compute_chunk_mask, :158-176)."""
+    i = jnp.arange(t)[:, None]
+    j = jnp.arange(t)[None, :]
+    low = jnp.maximum(i - win_front, 0)
+    high = jnp.minimum(i + win_back, t)
+    low = low - jnp.maximum(low - (t - win_back), 0)
+    high = high + jnp.maximum(win_back - high, 0)
+    return (j >= low) & (j <= high)
+
+
+def buffer_validity(cache_len: int, t: int, fill: jnp.ndarray,
+                    skip: jnp.ndarray) -> jnp.ndarray:
+    """[B, cache_len + t] bool: which concatenated-buffer slots hold REAL
+    frames.
+
+    fill [B]: real frames in the cache (right-aligned; zero-init slots form
+    an invalid prefix). skip [B]: garbage slots at the FRONT of the input
+    section (the not-yet-filled part of a lookahead ring).
+    """
+    length = cache_len + t
+    j = jnp.arange(length)[None, :]
+    fill = jnp.minimum(fill.astype(jnp.int32), cache_len)[:, None]
+    skip = skip.astype(jnp.int32)[:, None]
+    cache_ok = j >= (cache_len - fill)
+    input_bad = (j >= cache_len) & (j < cache_len + skip)
+    return cache_ok & ~input_bad
+
+
+def stream_band_mask(cache_len: int, t: int, win_front: int, win_back: int,
+                     valid: jnp.ndarray) -> jnp.ndarray:
+    """Streaming attention mask [B, 1, t, cache_len + t] = band ∧ validity.
+
+    Queries are the t input frames appended after the cache; ``valid`` is
+    ``buffer_validity(...)``.
+    """
+    length = cache_len + t
+    p = cache_len + jnp.arange(t)[:, None]                   # local query idx
+    j = jnp.arange(length)[None, :]
+    low = jnp.maximum(p - win_front, 0)
+    high = jnp.minimum(p + win_back, length)
+    low = low - jnp.maximum(low - (length - win_back), 0)
+    high = high + jnp.maximum(win_back - high, 0)
+    band = (j >= low) & (j <= high)                          # [t, L]
+    return band[None, None] & valid[:, None, None, :]        # [B, 1, t, L]
+
+
+# ---------------------------------------------------------------------------
+# Modules
+# ---------------------------------------------------------------------------
+
+class ChunkMHSA(nn.Module):
+    """Banded self-attention with a fixed [B, win_front, d] KV ring."""
+
+    dmodel: int
+    head_size: int
+    num_heads: int
+    dropout: float = 0.0
+    win_front: int = 36
+    win_back: int = 0
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.ln = nn.LayerNorm(dtype=jnp.float32, name="ln")
+        self.mha = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            qkv_features=self.head_size * self.num_heads,
+            out_features=self.dmodel, dtype=self.dtype, name="mha")
+        self.do = nn.Dropout(self.dropout)
+
+    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        t = x.shape[1]
+        mask = chunk_band_mask(t, self.win_front, self.win_back)[None, None]
+        y = self.ln(x)
+        y = self.mha(y, y, y, mask=mask)
+        y = self.do(y, deterministic=not training)
+        return x + y
+
+    def stream_call(self, x: jnp.ndarray, cache: jnp.ndarray,
+                    valid: jnp.ndarray, keep: jnp.ndarray
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """x [B, t, d] pre-LN module inputs; cache [B, win_front, d] past
+        module inputs; valid [B, win_front + t] buffer validity; keep
+        [B, n_keep, 1] mask selecting which of the first n_keep input
+        frames advance into the cache (zeroed where garbage)."""
+        t = x.shape[1]
+        full = jnp.concatenate([cache, x], axis=1)
+        y = self.ln(full)
+        mask = stream_band_mask(self.win_front, t, self.win_front,
+                                self.win_back, valid)
+        out = self.mha(y[:, -t:], y, y, mask=mask)
+        appended = jnp.where(keep, x[:, :keep.shape[1]], 0.0)
+        new_cache = jnp.concatenate(
+            [cache, appended], axis=1)[:, -self.win_front:]
+        return x + out, new_cache
+
+
+class ChunkConv(nn.Module):
+    """Causal conformer conv module with a fixed [B, kernel, d] input ring.
+
+    The conv input (post pw1/GLU) is zeroed at invalid buffer slots, which
+    is exactly the offline 'causal' left zero pad (keras pads the conv
+    input), so streaming matches offline from a cold start.
+    """
+
+    dmodel: int
+    kernel_size: int = 32
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.ln = nn.LayerNorm(dtype=jnp.float32, name="ln")
+        self.pw_conv_1 = nn.Dense(2 * self.dmodel, dtype=self.dtype,
+                                  name="pw_conv_1")
+        self.dw_conv = nn.Conv(self.dmodel, (self.kernel_size,),
+                               feature_group_count=self.dmodel,
+                               padding=[(self.kernel_size - 1, 0)],
+                               dtype=self.dtype, name="dw_conv")
+        self.dw_pw = nn.Dense(2 * self.dmodel, dtype=self.dtype,
+                              name="dw_pw")
+        self.bn = nn.BatchNorm(dtype=jnp.float32, name="bn")
+        self.pw_conv_2 = nn.Dense(self.dmodel, dtype=self.dtype,
+                                  name="pw_conv_2")
+        self.do = nn.Dropout(self.dropout)
+
+    def _body(self, x: jnp.ndarray, training: bool,
+              conv_in_valid=None) -> jnp.ndarray:
+        y = self.ln(x)
+        y = self.pw_conv_1(y)
+        y = glu(y)
+        if conv_in_valid is not None:
+            y = jnp.where(conv_in_valid[..., None], y, 0.0)
+        y = self.dw_conv(y)
+        y = self.dw_pw(y)
+        y = self.bn(y, use_running_average=not training)
+        y = nn.swish(y)
+        y = self.pw_conv_2(y)
+        return self.do(y, deterministic=not training)
+
+    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        return x + self._body(x, training)
+
+    def stream_call(self, x: jnp.ndarray, cache: jnp.ndarray,
+                    valid: jnp.ndarray, keep: jnp.ndarray
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """valid [B, kernel_size + t] buffer validity; keep [B, n_keep, 1]
+        cache-advance mask (see ChunkMHSA.stream_call)."""
+        t = x.shape[1]
+        full = jnp.concatenate([cache, x], axis=1)
+        y = self._body(full, training=False, conv_in_valid=valid)[:, -t:]
+        appended = jnp.where(keep, x[:, :keep.shape[1]], 0.0)
+        new_cache = jnp.concatenate(
+            [cache, appended], axis=1)[:, -self.kernel_size:]
+        return x + y, new_cache
+
+
+class ChunkBlock(nn.Module):
+    """FF/2 -> ChunkMHSA -> ChunkConv -> FF/2 -> LN (:327-397)."""
+
+    cfg: ChunkStackConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.ffm1 = FFModule(c.dmodel, c.dropout, c.fc_factor,
+                             dtype=self.dtype, name="ff_module_1")
+        self.mhsam = ChunkMHSA(c.dmodel, c.head_size, c.num_heads, c.dropout,
+                               c.win_front, c.win_back, dtype=self.dtype,
+                               name="mhsa")
+        self.convm = ChunkConv(c.dmodel, c.kernel_size, c.dropout,
+                               dtype=self.dtype, name="conv_module")
+        self.ffm2 = FFModule(c.dmodel, c.dropout, c.fc_factor,
+                             dtype=self.dtype, name="ff_module_2")
+        self.ln = nn.LayerNorm(dtype=jnp.float32, name="ln")
+
+    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        x = self.ffm1(x, training)
+        x = self.mhsam(x, training)
+        x = self.convm(x, training)
+        x = self.ffm2(x, training)
+        return self.ln(x)
+
+    def stream_call(self, x, mha_cache, cnn_cache, fill, skip, n_keep):
+        """n_keep: how many leading input frames advance into the caches
+        (t - stack win_back); frames below ``skip`` are garbage ring slots
+        and are zeroed before caching."""
+        t = x.shape[1]
+        c = self.cfg
+        mha_valid = buffer_validity(c.win_front, t, fill, skip)
+        cnn_valid = buffer_validity(c.kernel_size, t, fill, skip)
+        keep = (jnp.arange(n_keep)[None, :] >= skip[:, None])[..., None]
+        x = self.ffm1(x, False)
+        x, new_mha = self.mhsam.stream_call(x, mha_cache, mha_valid, keep)
+        x, new_cnn = self.convm.stream_call(x, cnn_cache, cnn_valid, keep)
+        x = self.ffm2(x, False)
+        return self.ln(x), new_mha, new_cnn
+
+
+class ChunkConvSubsampling(nn.Module):
+    """'valid'-padding causal subsampling (:23-99).
+
+    Offline: pad time [rf, 0] + freq [2, 2], two 3x3 VALID convs with
+    strides (rf/2, 2) and (2, 2). Streaming: a [B, chunk/rf, n_mels, 1] mel
+    tail is prepended (no time pad — zero init == the offline time pad),
+    keep the last chunk/rf frames.
+    """
+
+    odim: int
+    chunk_num: int = 16
+    reduction_factor: int = 4
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        assert self.reduction_factor % 2 == 0
+        self.conv1 = nn.Conv(self.odim, (3, 3),
+                             strides=(self.reduction_factor // 2, 2),
+                             padding="VALID", dtype=self.dtype, name="conv1")
+        self.conv2 = nn.Conv(self.odim, (3, 3), strides=(2, 2),
+                             padding="VALID", dtype=self.dtype, name="conv2")
+        self.linear = nn.Dense(self.odim, dtype=self.dtype, name="linear")
+        self.do = nn.Dropout(self.dropout)
+        self.sub_length = self.chunk_num // self.reduction_factor
+
+    def _convs(self, x: jnp.ndarray, training: bool) -> jnp.ndarray:
+        x = nn.relu(self.conv1(x.astype(self.dtype)))
+        x = nn.relu(self.conv2(x))
+        b, t, f, c = x.shape
+        x = x.reshape(b, t, f * c)
+        x = self.linear(x)
+        return self.do(x, deterministic=not training)
+
+    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        x = jnp.pad(x, [(0, 0), (self.reduction_factor, 0), (2, 2), (0, 0)])
+        return self._convs(x, training)
+
+    def stream_call(self, x: jnp.ndarray, sub_cache: jnp.ndarray
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """x [B, chunk_num, n_mels, 1]; sub_cache [B, chunk/rf, n_mels, 1]."""
+        full = jnp.concatenate([sub_cache, x], axis=1)
+        y = jnp.pad(full, [(0, 0), (0, 0), (2, 2), (0, 0)])
+        y = self._convs(y, training=False)[:, -self.sub_length:]
+        new_cache = full[:, -self.sub_length:]
+        return y, new_cache
+
+    def init_cache(self, batch: int, n_mels: int) -> jnp.ndarray:
+        return jnp.zeros((batch, self.sub_length, n_mels, 1), jnp.float32)
+
+
+class ChunkFront(nn.Module):
+    """'valid' (causal) mel + chunk subsampling (:400-458).
+
+    The streaming wav tail buffer starts at zero, which equals the offline
+    mel 'valid' left zero padding exactly — no masking needed.
+    """
+
+    cfg: ChunkConformerConfig
+
+    def setup(self):
+        c = self.cfg
+        self.sub = ChunkConvSubsampling(
+            c.dmodel, c.chunk_num, c.reduction_factor, c.front_dropout,
+            dtype=c.dtype, name="conv_subsampling")
+        self.fcfg = fe.LogMelFrontendConfig(
+            sample_rate=c.sample_rate, n_fft=1024, stride_ms=c.stride_ms,
+            n_mels=c.n_mels, padding="valid")
+        if c.mel_layer_trainable:
+            init_fb = fe.mel_filterbank(c.sample_rate, 1024, c.n_mels)
+            self.mel_weights = self.param(
+                "freq2mel", lambda key: jnp.asarray(init_fb))
+        else:
+            self.mel_weights = None
+
+    def _mel(self, wav: jnp.ndarray) -> jnp.ndarray:
+        if wav.ndim == 3:
+            wav = wav[..., 0]
+        return fe.log_mel_spectrogram(wav, self.fcfg,
+                                      mel_weights=self.mel_weights)
+
+    def __call__(self, wav: jnp.ndarray, training: bool = False
+                 ) -> jnp.ndarray:
+        mel = self._mel(wav)
+        return self.sub(mel[..., None], training)
+
+    def stream_call(self, wav: jnp.ndarray, wav_cache: jnp.ndarray,
+                    sub_cache: jnp.ndarray):
+        """wav [B, chunk_samples]; wav_cache [B, chunk_samples] tail."""
+        c = self.cfg
+        if wav.ndim == 3:
+            wav = wav[..., 0]
+        full = jnp.concatenate([wav_cache, wav], axis=1)
+        mel = self._mel(full)[:, -c.chunk_num:]
+        out, new_sub = self.sub.stream_call(mel[..., None], sub_cache)
+        return out, full[:, -c.chunk_samples:], new_sub
+
+    def init_caches(self, batch: int):
+        c = self.cfg
+        return (jnp.zeros((batch, c.chunk_samples), jnp.float32),
+                self.sub.init_cache(batch, c.n_mels))
+
+
+class ChunkStack(nn.Module):
+    """N ChunkBlocks threading per-layer [L, B, wf, d] / [L, B, k, d] caches
+    with valid/unvalid lookahead split (:462-568)."""
+
+    cfg: ChunkStackConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.blocks = [
+            ChunkBlock(self.cfg, dtype=self.dtype, name=f"block_{i}")
+            for i in range(self.cfg.num_blocks)]
+
+    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        for b in self.blocks:
+            x = b(x, training)
+        return x
+
+    def stream_call(self, x: jnp.ndarray, mha_caches, cnn_caches,
+                    fill: jnp.ndarray, skip: jnp.ndarray):
+        """Process t input frames (the first ``skip`` per batch are ring
+        zero-slots); caches advance past the t - win_back frames that gain
+        full lookahead this step, minus the skipped slots (reference trims
+        the same way, :530-560). Garbage never enters a cache: appended
+        slots below ``skip`` are zeroed and counted out of ``fill``.
+
+        Returns (out [B, t, d], new_mha, new_cnn, new_fill). Output frames
+        [skip, t - win_back) are final; the rest are lookahead/garbage.
+        """
+        c = self.cfg
+        wb = c.win_back
+        t = x.shape[1]
+        n_keep = t - wb
+        appended_real = jnp.maximum(n_keep - skip, 0)
+        new_mha, new_cnn = [], []
+        layer_in = x
+        for i, b in enumerate(self.blocks):
+            out, mha_c, cnn_c = b.stream_call(
+                layer_in, mha_caches[i], cnn_caches[i], fill, skip, n_keep)
+            new_mha.append(mha_c)
+            new_cnn.append(cnn_c)
+            layer_in = out
+        new_fill = fill + appended_real
+        return layer_in, jnp.stack(new_mha), jnp.stack(new_cnn), new_fill
+
+    def init_caches(self, batch: int):
+        c = self.cfg
+        return (jnp.zeros((c.num_blocks, batch, c.win_front, c.dmodel),
+                          jnp.float32),
+                jnp.zeros((c.num_blocks, batch, c.kernel_size, c.dmodel),
+                          jnp.float32))
+
+
+class ChunkCTCDecoder(nn.Module):
+    """Dense proj -> M ChunkBlocks -> Dense(classes); returns (logits,
+    hidden) (:571-673)."""
+
+    cfg: ChunkStackConfig
+    num_classes: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.project = nn.Dense(self.cfg.dmodel, dtype=self.dtype,
+                                name="project")
+        self.stack = ChunkStack(self.cfg, dtype=self.dtype, name="stack")
+        self.fc = nn.Dense(self.num_classes, dtype=jnp.float32,
+                           name="fully_connected")
+
+    def __call__(self, x: jnp.ndarray, training: bool = False):
+        hidden = self.stack(self.project(x.astype(self.dtype)), training)
+        return self.fc(hidden.astype(jnp.float32)), hidden
+
+    def stream_call(self, x: jnp.ndarray, mha_caches, cnn_caches, fill, skip):
+        y = self.project(x.astype(self.dtype))
+        out, new_mha, new_cnn, new_fill = self.stack.stream_call(
+            y, mha_caches, cnn_caches, fill, skip)
+        return (self.fc(out.astype(jnp.float32)), out, new_mha, new_cnn,
+                new_fill)
+
+    def init_caches(self, batch: int):
+        return self.stack.init_caches(batch)
+
+
+class ContextHelper(nn.Module):
+    """Phone-embedding helper stack (:679-772): (a) refines picked acoustic
+    features, (b) ``phone_call`` is the text-only co-training branch."""
+
+    cfg: ChunkStackConfig
+    num_classes: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.sample_helper = nn.Embed(self.num_classes, self.cfg.dmodel,
+                                      dtype=self.dtype, name="sample_helper")
+        self.stack = ChunkStack(self.cfg, dtype=self.dtype, name="stack")
+
+    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        return self.stack(x, training)
+
+    def phone_call(self, phone_ids: jnp.ndarray, training: bool = False):
+        emb = self.sample_helper(phone_ids)
+        return emb, self.stack(emb, training)
+
+    def stream_call(self, x: jnp.ndarray, mha_caches, cnn_caches, fill):
+        skip = jnp.zeros_like(fill)
+        out, new_mha, new_cnn, new_fill = self.stack.stream_call(
+            x, mha_caches, cnn_caches, fill, skip)
+        return out, new_mha, new_cnn, new_fill
+
+    def init_caches(self, batch: int):
+        return self.stack.init_caches(batch)
+
+
+# ---------------------------------------------------------------------------
+# feature_pick — the SMLTA2 CTC picker / length regulator
+# ---------------------------------------------------------------------------
+
+def feature_pick(hidden: jnp.ndarray, ctc_logits: jnp.ndarray,
+                 blank_id: int, max_out: int
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Keep frames whose argmax phone is non-blank (:913-999), compacted to
+    the front of a static [B, max_out, ...] buffer, zero padded.
+
+    Returns (picked_hidden [B, max_out, d], picked_ctc [B, max_out, V],
+    counts [B]). Frames beyond ``max_out`` kept frames are dropped (the
+    reference grows dynamically; label-length-scaled capacity is plenty).
+    """
+    ids = jnp.argmax(ctc_logits, axis=-1)
+    keep = ids != blank_id                                        # [B, T]
+    order = jnp.argsort(~keep, axis=1, stable=True)[:, :max_out]  # [B, max_out]
+    kept = jnp.take_along_axis(keep, order, axis=1)
+    f = jnp.take_along_axis(hidden, order[..., None], axis=1)
+    c = jnp.take_along_axis(ctc_logits, order[..., None], axis=1)
+    f = jnp.where(kept[..., None], f, 0.0)
+    c = jnp.where(kept[..., None], c, 0.0)
+    counts = jnp.minimum(keep.sum(axis=1), max_out).astype(jnp.int32)
+    return f, c, counts
+
+
+# ---------------------------------------------------------------------------
+# Top-level model
+# ---------------------------------------------------------------------------
+
+class ChunkConformer(nn.Module):
+    """front -> encoder -> phone picker -> feature_pick -> helper -> char
+    decoder (:775-1197). Streaming state is an explicit pytree dict."""
+
+    cfg: ChunkConformerConfig
+    num_phone_classes: int
+    num_char_classes: int
+
+    def setup(self):
+        c = self.cfg
+        self.front = ChunkFront(c, name="front")
+        self.encoder = ChunkStack(c.encoder, dtype=c.dtype, name="encoder")
+        self.phone_picker = ChunkCTCDecoder(
+            c.picker, self.num_phone_classes, dtype=c.dtype,
+            name="phone_picker")
+        self.decoder = ChunkCTCDecoder(
+            c.decoder, self.num_char_classes, dtype=c.dtype, name="decoder")
+        self.helper = ContextHelper(
+            c.helper, self.num_phone_classes, dtype=c.dtype, name="helper")
+
+    @property
+    def phone_blank(self) -> int:
+        return self.num_phone_classes - 1
+
+    # -- offline ----------------------------------------------------------
+    def __call__(self, wav: jnp.ndarray, training: bool = False):
+        """Build/eval forward (reference call :1003-1009): no picking."""
+        front_out = self.front(wav, training)
+        enc = self.encoder(front_out, training)
+        _, hidden = self.phone_picker(enc, training)
+        return self.decoder(hidden, training)
+
+    def encode_to_phones(self, wav: jnp.ndarray, training: bool = False):
+        """front -> encoder -> picker: (phone_logits, hidden)."""
+        front_out = self.front(wav, training)
+        enc = self.encoder(front_out, training)
+        return self.phone_picker(enc, training)
+
+    def train_forward(self, wav: jnp.ndarray, extra_phones: jnp.ndarray,
+                      max_pick: int, training: bool = True):
+        """Full 3-branch forward (train_step :1034-1083).
+
+        Returns dict with phone_logits [B,T,Vp], picked_counts [B],
+        txt_logits [B,max_pick,Vc] (decoder on helper(picked)), help_logits
+        [B,Ue,Vc] (decoder on helper.phone_call(extra_phones))."""
+        phone_logits, hidden = self.encode_to_phones(wav, training)
+        picked_f, _, picked_counts = feature_pick(
+            hidden, phone_logits, self.phone_blank, max_pick)
+        _, helper_out = self.helper.phone_call(extra_phones, training)
+        picked_help = self.helper(picked_f, training)
+        txt_logits, _ = self.decoder(picked_help, training)
+        help_logits, _ = self.decoder(helper_out, training)
+        return {
+            "phone_logits": phone_logits,
+            "picked_counts": picked_counts,
+            "txt_logits": txt_logits,
+            "help_logits": help_logits,
+        }
+
+    def predict(self, wav: jnp.ndarray, max_pick: int):
+        """Offline inference (reference predict :816-823): char logits over
+        the picked frames + phone logits + picked counts."""
+        phone_logits, hidden = self.encode_to_phones(wav, False)
+        picked_f, _, counts = feature_pick(
+            hidden, phone_logits, self.phone_blank, max_pick)
+        help_out = self.helper(picked_f, False)
+        char_logits, _ = self.decoder(help_out, False)
+        return char_logits, phone_logits, counts
+
+    # -- streaming --------------------------------------------------------
+    def init_picker_caches(self, batch: int) -> Dict[str, jnp.ndarray]:
+        wav_cache, sub_cache = self.front.init_caches(batch)
+        enc_mha, enc_cnn = self.encoder.init_caches(batch)
+        pk_mha, pk_cnn = self.phone_picker.init_caches(batch)
+        wb = self.cfg.picker.win_back
+        z = jnp.zeros((batch,), jnp.int32)
+        return {
+            "wav": wav_cache, "sub": sub_cache,
+            "enc_mha": enc_mha, "enc_cnn": enc_cnn, "enc_fill": z,
+            "picker_mha": pk_mha, "picker_cnn": pk_cnn, "picker_fill": z,
+            # lookahead ring: frames fed to the picker but not yet final
+            "ring": jnp.zeros((batch, wb, self.cfg.dmodel), jnp.float32),
+            "ring_fill": z,
+        }
+
+    def init_decoder_caches(self, batch: int) -> Dict[str, jnp.ndarray]:
+        h_mha, h_cnn = self.helper.init_caches(batch)
+        d_mha, d_cnn = self.decoder.init_caches(batch)
+        wb = self.cfg.decoder.win_back
+        z = jnp.zeros((batch,), jnp.int32)
+        return {
+            "helper_mha": h_mha, "helper_cnn": h_cnn, "helper_fill": z,
+            "dec_mha": d_mha, "dec_cnn": d_cnn, "dec_fill": z,
+            "ring": jnp.zeros((batch, wb, self.cfg.dmodel), jnp.float32),
+            "ring_fill": z,
+        }
+
+    @staticmethod
+    def _ring_feed(ring, ring_fill, new, wb):
+        """Prepend a right-aligned lookahead ring to ``new`` frames.
+
+        Returns (x [B, wb + t, d], skip [B], new_ring, new_ring_fill,
+        n_final [B]): of the t' = wb + t - wb = t output slots that gain
+        full lookahead, the LAST n_final are real (the first
+        ``max(wb - ring_fill, 0)`` correspond to zero ring slots)."""
+        t = new.shape[1]
+        if wb == 0:
+            b = new.shape[0]
+            return (new, jnp.zeros((b,), jnp.int32), ring, ring_fill,
+                    jnp.full((b,), t, jnp.int32))
+        x = jnp.concatenate([ring, new], axis=1)
+        skip = (wb - jnp.minimum(ring_fill, wb)).astype(jnp.int32)
+        new_ring = x[:, -wb:]
+        new_ring_fill = jnp.minimum(ring_fill + t, wb).astype(jnp.int32)
+        n_final = jnp.maximum(t - skip, 0).astype(jnp.int32)
+        return x, skip, new_ring, new_ring_fill, n_final
+
+    def picker_stream_step(self, wav_chunk: jnp.ndarray,
+                           caches: Dict[str, jnp.ndarray]):
+        """One streaming step (picker_stream_predict :824-840).
+
+        wav_chunk [B, chunk_samples] -> (phone_logits [B, t, Vp], hidden
+        [B, t, d], n_final [B], new caches) where t = sub_length final
+        frames per step; the LAST n_final of them are real outputs (fewer
+        than t only during lookahead warm-up; with the shipped config every
+        win_back before the char decoder is 0 so n_final == t always).
+        """
+        c = self.cfg
+        if wav_chunk.shape[-1] != c.chunk_samples and (
+                wav_chunk.ndim != 3 or wav_chunk.shape[1] != c.chunk_samples):
+            raise ValueError(
+                f"picker_stream_step expects chunks of exactly "
+                f"{c.chunk_samples} samples, got {wav_chunk.shape}")
+        zero_skip = jnp.zeros_like(caches["enc_fill"])
+        front_out, new_wav, new_sub = self.front.stream_call(
+            wav_chunk, caches["wav"], caches["sub"])
+        enc_out, new_enc_mha, new_enc_cnn, new_enc_fill = \
+            self.encoder.stream_call(front_out, caches["enc_mha"],
+                                     caches["enc_cnn"], caches["enc_fill"],
+                                     zero_skip)
+        # encoder win_back must be 0 for a pure ring pipeline (shipped
+        # config); a nonzero encoder lookahead would need its own ring here.
+        t_new = enc_out.shape[1]
+        wb = c.picker.win_back
+        x, skip, new_ring, new_ring_fill, n_final = self._ring_feed(
+            caches["ring"], caches["ring_fill"], enc_out, wb)
+        pk_logits, pk_hidden, new_pk_mha, new_pk_cnn, new_pk_fill = \
+            self.phone_picker.stream_call(
+                x, caches["picker_mha"], caches["picker_cnn"],
+                caches["picker_fill"], skip)
+        # final outputs: positions [skip, len(x) - wb) == last n_final of
+        # the first t_new slots
+        pk_logits = pk_logits[:, :t_new]
+        pk_hidden = pk_hidden[:, :t_new]
+        new_caches = {
+            "wav": new_wav, "sub": new_sub,
+            "enc_mha": new_enc_mha, "enc_cnn": new_enc_cnn,
+            "enc_fill": new_enc_fill,
+            "picker_mha": new_pk_mha, "picker_cnn": new_pk_cnn,
+            "picker_fill": new_pk_fill,
+            "ring": new_ring, "ring_fill": new_ring_fill,
+        }
+        return pk_logits, pk_hidden, n_final, new_caches
+
+    def decoder_stream_step(self, picked: jnp.ndarray,
+                            caches: Dict[str, jnp.ndarray]):
+        """One char-decoder step (decoder_stream_predict :841-852).
+
+        picked [B, s, d] REAL picked frames (the session buffers until s
+        are available). Returns (char_logits [B, s, Vc], n_final [B], new
+        caches): the LAST n_final logits of the s emitted are final — with
+        decoder win_back wb, output lags wb picked frames behind input
+        until the ring warms up.
+        """
+        s = picked.shape[1]
+        zero_skip = jnp.zeros_like(caches["helper_fill"])
+        helper_out, new_h_mha, new_h_cnn, new_h_fill = \
+            self.helper.stream_call(picked, caches["helper_mha"],
+                                    caches["helper_cnn"],
+                                    caches["helper_fill"])
+        wb = self.cfg.decoder.win_back
+        x, skip, new_ring, new_ring_fill, n_final = self._ring_feed(
+            caches["ring"], caches["ring_fill"], helper_out, wb)
+        logits, _, new_d_mha, new_d_cnn, new_d_fill = \
+            self.decoder.stream_call(
+                x, caches["dec_mha"], caches["dec_cnn"],
+                caches["dec_fill"], skip)
+        logits = logits[:, :s]
+        new_caches = {
+            "helper_mha": new_h_mha, "helper_cnn": new_h_cnn,
+            "helper_fill": new_h_fill,
+            "dec_mha": new_d_mha, "dec_cnn": new_d_cnn,
+            "dec_fill": new_d_fill,
+            "ring": new_ring, "ring_fill": new_ring_fill,
+        }
+        return logits, n_final, new_caches
+
+
+def count_params(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

@@ -34,13 +34,15 @@ def _interleave_blanks(labels: jnp.ndarray, blank_id: int) -> jnp.ndarray:
     return ext.at[:, 1::2].set(labels)
 
 
-@functools.partial(jax.jit, static_argnames=("blank_id", "logits_time_major"))
+@functools.partial(jax.jit, static_argnames=("blank_id", "logits_time_major",
+                                              "zero_infinity"))
 def ctc_loss(logits: jnp.ndarray,
              logit_lengths: jnp.ndarray,
              labels: jnp.ndarray,
              label_lengths: jnp.ndarray,
              blank_id: int,
-             logits_time_major: bool = False) -> jnp.ndarray:
+             logits_time_major: bool = False,
+             zero_infinity: bool = True) -> jnp.ndarray:
     """Per-example negative log likelihood, shape [B].
 
     Args:
@@ -50,6 +52,9 @@ def ctc_loss(logits: jnp.ndarray,
       labels: [B, L] int labels, padded arbitrarily past label_lengths.
       label_lengths: [B] valid labels per example.
       blank_id: index of the CTC blank.
+      zero_infinity: zero the loss of infeasible examples (logit length too
+        short for the label) instead of returning ~1e30 — keeps training
+        stable when an upstream length regulator under-picks frames.
     """
     if logits_time_major:
         logits = jnp.transpose(logits, (1, 0, 2))
@@ -104,7 +109,11 @@ def ctc_loss(logits: jnp.ndarray,
     a_end1 = jnp.where(label_lengths > 0, a_end1, NEG_INF)
     m = jnp.maximum(a_end, a_end1)
     ll = m + jnp.log(jnp.exp(a_end - m) + jnp.exp(a_end1 - m))
-    return -ll
+    loss = -ll
+    if zero_infinity:
+        loss = jnp.where(ll <= NEG_INF / 2,
+                         jax.lax.stop_gradient(loss) * 0.0, loss)
+    return loss
 
 
 def collapse_and_remove_blank(ids: jnp.ndarray,

@@ -186,17 +186,20 @@ class LogMelFrontendConfig:
 
 @functools.lru_cache(maxsize=8)
 def _frontend_constants(cfg: LogMelFrontendConfig):
+    """Host numpy constants ONLY — caching device arrays here would leak
+    tracers when first touched inside a jit trace."""
     real, imag = stft_kernels(cfg.n_fft)
     dft = np.concatenate([real, imag], axis=1)            # [n_fft, 2*n_freq]
     fb = mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels,
                         cfg.fmin, cfg.fmax)
-    return jnp.asarray(dft), jnp.asarray(fb)
+    return dft, fb
 
 
 def power_spectrogram(wav: jnp.ndarray, cfg: LogMelFrontendConfig
                       ) -> jnp.ndarray:
     """[B, T] -> [B, n_frames, n_freq] power spectrum via one MXU matmul."""
     dft, _ = _frontend_constants(cfg)
+    dft = jnp.asarray(dft)
     frames = frame_signal(wav.astype(jnp.float32), cfg.n_fft, cfg.hop,
                           cfg.padding)
     spec = jnp.einsum("btn,nf->btf", frames, dft,
@@ -238,6 +241,7 @@ def log_mel_spectrogram(wav: jnp.ndarray, cfg: LogMelFrontendConfig,
     parameter for the trainable_fb variant.
     """
     _, fb = _frontend_constants(cfg)
+    fb = jnp.asarray(fb)
     if mel_weights is not None:
         fb = mel_weights
     power = power_spectrogram(wav, cfg)

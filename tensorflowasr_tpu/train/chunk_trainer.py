@@ -1,0 +1,151 @@
+"""Data-parallel training for the ChunkConformer (SMLTA2) model.
+
+Re-designs the reference's Keras-fit train path (ChunkConformer.train_step,
+asr/models/chunk_conformer_blocks.py:1034-1131 in Z-yq/TensorflowASR) as a
+single jitted step over the mesh:
+
+  loss = phone_ctc + txt_ctc + help_ctc            (:1081)
+    phone_ctc: picker phone logits vs phone labels over encoder frames
+    txt_ctc:   char decoder on helper(feature_pick(...)) vs char labels,
+               input length = per-example picked counts (the reference uses
+               the padded max for every example, :1055-1056 — counts are
+               strictly more correct and documented here as the deviation)
+    help_ctc:  char decoder on helper.phone_call(extra_phones) vs the extra
+               text labels, input length = extra phone length
+
+Batch dict (static shapes):
+  wav [B, T] f32, input_length [B] i32 (encoder frames),
+  phones [B, L] i32, phone_length [B] i32,
+  chars [B, U] i32, char_length [B] i32,
+  extra_phones [B, Le] i32, extra_phone_length [B] i32,
+  extra_chars [B, Ue] i32, extra_char_length [B] i32.
+
+``max_pick`` (feature_pick capacity) is static — set it to the char-label
+pad length + margin.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tensorflowasr_tpu.models.chunk_conformer import ChunkConformer
+from tensorflowasr_tpu.ops.ctc import ctc_greedy_decode, ctc_loss
+from tensorflowasr_tpu.train.state import ASRTrainState
+
+
+def _chunk_ctc_acc(labels: jnp.ndarray, decoded: jnp.ndarray) -> jnp.ndarray:
+    """Reference ctc_acc (:1011-1025): token match over non-pad positions of
+    the shorter of the two sequences."""
+    t = min(labels.shape[1], decoded.shape[1])
+    lab, pred = labels[:, :t], decoded[:, :t]
+    mask = (lab != 0).astype(jnp.float32)
+    match = (lab == pred).astype(jnp.float32)
+    per_ex = jnp.sum(match * mask, -1) / (jnp.sum(mask, -1) + 1e-6)
+    return jnp.mean(per_ex)
+
+
+def _loss_and_metrics(model: ChunkConformer, params, batch_stats, batch,
+                      dropout_rng, max_pick: int, training: bool):
+    variables = {"params": params}
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
+    mutable = (["batch_stats"] if training and batch_stats is not None
+               else False)
+    rngs = {"dropout": dropout_rng} if training else None
+
+    out = model.apply(variables, batch["wav"], batch["extra_phones"],
+                      max_pick, training=training, rngs=rngs,
+                      mutable=mutable, method=ChunkConformer.train_forward)
+    if mutable:
+        fwd, new_vars = out
+        new_batch_stats = new_vars.get("batch_stats", batch_stats)
+    else:
+        fwd, new_batch_stats = out, None
+
+    phone_blank = model.num_phone_classes - 1
+    char_blank = model.num_char_classes - 1
+
+    phone_loss = ctc_loss(fwd["phone_logits"], batch["input_length"],
+                          batch["phones"], batch["phone_length"],
+                          blank_id=phone_blank)
+    txt_loss = ctc_loss(fwd["txt_logits"], fwd["picked_counts"],
+                        batch["chars"], batch["char_length"],
+                        blank_id=char_blank)
+    help_loss = ctc_loss(fwd["help_logits"], batch["extra_phone_length"],
+                         batch["extra_chars"], batch["extra_char_length"],
+                         blank_id=char_blank)
+    total = jnp.mean(phone_loss + txt_loss + help_loss)
+
+    phone_dec, _ = ctc_greedy_decode(fwd["phone_logits"],
+                                     batch["input_length"],
+                                     blank_id=phone_blank)
+    txt_dec, _ = ctc_greedy_decode(fwd["txt_logits"], fwd["picked_counts"],
+                                   blank_id=char_blank)
+    help_dec, _ = ctc_greedy_decode(fwd["help_logits"],
+                                    batch["extra_phone_length"],
+                                    blank_id=char_blank)
+    metrics = {
+        "phone_loss": jnp.mean(phone_loss),
+        "txt_loss": jnp.mean(txt_loss),
+        "help_loss": jnp.mean(help_loss),
+        "train_loss": total,
+        "phone_acc": _chunk_ctc_acc(batch["phones"], phone_dec),
+        "txt_acc": _chunk_ctc_acc(batch["chars"], txt_dec),
+        "help_acc": _chunk_ctc_acc(batch["extra_chars"], help_dec),
+    }
+    return total, (metrics, new_batch_stats)
+
+
+def make_chunk_train_step(model: ChunkConformer, max_pick: int,
+                          donate: bool = True) -> Callable:
+    """Returns jitted (state, batch, rng) -> (state, metrics)."""
+
+    def step(state: ASRTrainState, batch: Dict[str, jnp.ndarray],
+             rng: jax.Array) -> Tuple[ASRTrainState, Dict[str, jnp.ndarray]]:
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        grad_fn = jax.value_and_grad(
+            lambda p: _loss_and_metrics(model, p, state.batch_stats, batch,
+                                        dropout_rng, max_pick, True),
+            has_aux=True)
+        (_, (metrics, new_stats)), grads = grad_fn(state.params)
+        state = state.apply_gradients(grads=grads)
+        if new_stats is not None:
+            state = state.replace(batch_stats=new_stats)
+        return state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_chunk_eval_step(model: ChunkConformer, max_pick: int) -> Callable:
+    def step(state: ASRTrainState, batch):
+        _, (metrics, _) = _loss_and_metrics(
+            model, state.params, state.batch_stats, batch,
+            jax.random.PRNGKey(0), max_pick, False)
+        return metrics
+
+    return jax.jit(step)
+
+
+def make_chunk_predict_step(model: ChunkConformer, max_pick: int) -> Callable:
+    """(state, wav) -> (char_ids, char_lens, phone_ids, phone_lens):
+    offline chunk inference (chunk_tester.py:33-72 semantics)."""
+    char_blank = model.num_char_classes - 1
+    phone_blank = model.num_phone_classes - 1
+
+    def step(state: ASRTrainState, wav, input_length):
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        char_logits, phone_logits, counts = model.apply(
+            variables, wav, max_pick, method=ChunkConformer.predict)
+        char_ids, char_lens = ctc_greedy_decode(char_logits, counts,
+                                                blank_id=char_blank)
+        phone_ids, phone_lens = ctc_greedy_decode(
+            phone_logits, input_length, blank_id=phone_blank)
+        return char_ids, char_lens, phone_ids, phone_lens
+
+    return jax.jit(step)

@@ -1,0 +1,208 @@
+"""ChunkConformer (SMLTA2) tests: shapes, feature_pick vs numpy reference,
+streaming-vs-offline parity (the reference's strongest consistency check,
+test_chunk_asr.py:126-139), and the 3-loss train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorflowasr_tpu.models.chunk_conformer import (
+    ChunkConformer,
+    ChunkConformerConfig,
+    ChunkStackConfig,
+    chunk_band_mask,
+    feature_pick,
+)
+
+N_PHONE, N_CHAR = 12, 17
+
+
+def tiny_cfg(dec_win_back=2):
+    stack = dict(dmodel=16, head_size=8, num_heads=2, kernel_size=4,
+                 dropout=0.0, win_front=6)
+    return ChunkConformerConfig(
+        dmodel=16, reduction_factor=4, front_dropout=0.0,
+        sample_rate=16000, n_mels=20, stride_ms=10, chunk_num=16,
+        encoder=ChunkStackConfig(num_blocks=2, win_back=0, **stack),
+        picker=ChunkStackConfig(num_blocks=1, win_back=0, **stack),
+        decoder=ChunkStackConfig(num_blocks=1, win_back=dec_win_back,
+                                 **stack),
+        helper=ChunkStackConfig(num_blocks=1, win_back=0, **stack),
+    )
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    cfg = tiny_cfg()
+    model = ChunkConformer(cfg, N_PHONE, N_CHAR)
+    wav = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, cfg.chunk_samples * 4)).astype(np.float32) * 0.1)
+    variables = model.init(jax.random.PRNGKey(0), wav,
+                           jnp.ones((2, 6), jnp.int32), 10, False,
+                           method=ChunkConformer.train_forward)
+    return model, variables, cfg
+
+
+def test_band_mask_matches_reference_semantics():
+    t, wf, wb = 10, 3, 2
+    m = np.asarray(chunk_band_mask(t, wf, wb))
+    for i in range(t):
+        low = max(i - wf, 0)
+        high = min(i + wb, t)
+        low = low - max(low - (t - wb), 0)
+        high = high + max(wb - high, 0)
+        for j in range(t):
+            assert m[i, j] == (low <= j <= high), (i, j)
+
+
+def test_feature_pick_matches_numpy():
+    rng = np.random.default_rng(1)
+    b, t, d, v = 3, 11, 5, 7
+    blank = v - 1
+    hidden = rng.standard_normal((b, t, d)).astype(np.float32)
+    logits = rng.standard_normal((b, t, v)).astype(np.float32)
+    max_out = 8
+    f, c, counts = feature_pick(jnp.asarray(hidden), jnp.asarray(logits),
+                                blank, max_out)
+    f, c, counts = np.asarray(f), np.asarray(c), np.asarray(counts)
+    for i in range(b):
+        keep = np.argmax(logits[i], -1) != blank
+        idx = np.nonzero(keep)[0][:max_out]
+        assert counts[i] == min(keep.sum(), max_out)
+        np.testing.assert_allclose(f[i, :len(idx)], hidden[i, idx], rtol=1e-6)
+        np.testing.assert_allclose(c[i, :len(idx)], logits[i, idx], rtol=1e-6)
+        assert np.all(f[i, len(idx):] == 0)
+
+
+def test_offline_shapes(model_and_vars):
+    model, variables, cfg = model_and_vars
+    b, n_chunks = 2, 4
+    wav = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (b, cfg.chunk_samples * n_chunks)).astype(np.float32) * 0.1)
+    logits, hidden = model.apply(variables, wav)
+    t = n_chunks * cfg.sub_length
+    assert logits.shape == (b, t, N_CHAR)
+    assert hidden.shape == (b, t, cfg.decoder.dmodel)
+
+    out = model.apply(variables, wav, jnp.ones((b, 6), jnp.int32), 10,
+                      False, method=ChunkConformer.train_forward)
+    assert out["phone_logits"].shape == (b, t, N_PHONE)
+    assert out["txt_logits"].shape == (b, 10, N_CHAR)
+    assert out["help_logits"].shape == (b, 6, N_CHAR)
+
+
+def test_streaming_matches_offline_encoder_picker(model_and_vars):
+    """Cold-start streaming == offline through front+encoder+picker."""
+    model, variables, cfg = model_and_vars
+    b, n_chunks = 2, 5
+    rng = np.random.default_rng(3)
+    wav = jnp.asarray(rng.standard_normal(
+        (b, cfg.chunk_samples * n_chunks)).astype(np.float32) * 0.1)
+
+    off_logits, off_hidden = model.apply(
+        variables, wav, False, method=ChunkConformer.encode_to_phones)
+
+    caches = model.apply(variables, b,
+                         method=ChunkConformer.init_picker_caches)
+    outs, hids = [], []
+    for i in range(n_chunks):
+        chunk = wav[:, i * cfg.chunk_samples:(i + 1) * cfg.chunk_samples]
+        logits, hidden, n_final, caches = model.apply(
+            variables, chunk, caches,
+            method=ChunkConformer.picker_stream_step)
+        assert np.all(np.asarray(n_final) == cfg.sub_length)
+        outs.append(np.asarray(logits))
+        hids.append(np.asarray(hidden))
+    stream_logits = np.concatenate(outs, axis=1)
+    stream_hidden = np.concatenate(hids, axis=1)
+    np.testing.assert_allclose(stream_logits, np.asarray(off_logits),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(stream_hidden, np.asarray(off_hidden),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_streaming_matches_offline_decoder(model_and_vars):
+    """Cold-start decoder streaming (with win_back lookahead ring) ==
+    offline helper+decoder over the same picked-frame sequence."""
+    model, variables, cfg = model_and_vars
+    b, total = 2, 12
+    wb = cfg.decoder.win_back
+    rng = np.random.default_rng(4)
+    picked = jnp.asarray(rng.standard_normal(
+        (b, total, cfg.dmodel)).astype(np.float32))
+
+    # offline: helper -> decoder via a small method wrapper
+    def helper_decoder(model, picked):
+        h = model.helper(picked, False)
+        logits, _ = model.decoder(h, False)
+        return logits
+
+    off = model.apply(variables, picked, method=helper_decoder)
+
+    caches = model.apply(variables, b,
+                         method=ChunkConformer.init_decoder_caches)
+    s = 3
+    finals = []
+    for i in range(total // s):
+        step_in = picked[:, i * s:(i + 1) * s]
+        logits, n_final, caches = model.apply(
+            variables, step_in, caches,
+            method=ChunkConformer.decoder_stream_step)
+        logits = np.asarray(logits)
+        n = int(np.asarray(n_final)[0])
+        assert np.all(np.asarray(n_final) == n)
+        if n > 0:
+            finals.append(logits[:, s - n:])
+    stream = np.concatenate(finals, axis=1)
+    # streaming emits total - wb final frames (the tail needs a flush)
+    assert stream.shape[1] == total - wb
+    np.testing.assert_allclose(stream, np.asarray(off)[:, :total - wb],
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_chunk_train_step_runs_and_descends():
+    from tensorflowasr_tpu.train.chunk_trainer import (
+        make_chunk_eval_step, make_chunk_train_step)
+    from tensorflowasr_tpu.train.state import ASRTrainState, make_optimizer
+
+    cfg = tiny_cfg()
+    model = ChunkConformer(cfg, N_PHONE, N_CHAR)
+    b = 2
+    rng = np.random.default_rng(5)
+    batch = {
+        "wav": jnp.asarray(rng.standard_normal(
+            (b, cfg.chunk_samples * 3)).astype(np.float32) * 0.1),
+        "input_length": jnp.full((b,), 3 * cfg.sub_length, jnp.int32),
+        "phones": jnp.asarray(rng.integers(
+            1, N_PHONE - 1, (b, 5)).astype(np.int32)),
+        "phone_length": jnp.full((b,), 5, jnp.int32),
+        "chars": jnp.asarray(rng.integers(
+            1, N_CHAR - 1, (b, 5)).astype(np.int32)),
+        "char_length": jnp.full((b,), 5, jnp.int32),
+        "extra_phones": jnp.asarray(rng.integers(
+            1, N_PHONE - 1, (b, 6)).astype(np.int32)),
+        "extra_phone_length": jnp.full((b,), 6, jnp.int32),
+        "extra_chars": jnp.asarray(rng.integers(
+            1, N_CHAR - 1, (b, 4)).astype(np.int32)),
+        "extra_char_length": jnp.full((b,), 4, jnp.int32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch["wav"],
+                           batch["extra_phones"], 8, False,
+                           method=ChunkConformer.train_forward)
+    tx = make_optimizer({"lr": 3e-3})
+    state = ASRTrainState.create(apply_fn=model.apply,
+                                 params=variables["params"], tx=tx,
+                                 batch_stats=variables.get("batch_stats"))
+    step = make_chunk_train_step(model, max_pick=8, donate=False)
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for _ in range(8):
+        state, metrics = step(state, batch, key)
+        losses.append(float(metrics["train_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+    eval_step = make_chunk_eval_step(model, max_pick=8)
+    em = eval_step(state, batch)
+    assert np.isfinite(float(em["train_loss"]))
