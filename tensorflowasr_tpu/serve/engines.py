@@ -1,0 +1,172 @@
+"""JAX inference engines for serving.
+
+Replaces the reference's onnxruntime session wrappers
+(Inference/PythonInference/asr/src/asr.py:11-94, vad/src/vad.py,
+punc_recover/src/punc_recover.py in Z-yq/TensorflowASR) with jitted JAX
+functions over restored train states. Chunk/utterance lengths are padded to
+a small set of static shapes so each engine compiles a handful of programs,
+ever (XLA requirement — the ONNX sessions took dynamic shapes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorflowasr_tpu.models.conformer import ConformerCTC
+from tensorflowasr_tpu.ops.ctc import ctc_greedy_decode
+
+
+class ASREngine:
+    """Block-streaming ASR: per-chunk encoder features + full-prefix CTC +
+    translator decode (asr.py:11-94 semantics).
+
+    ``extract_feature`` pads the wav chunk to ``chunk_samples`` (one static
+    shape); ``decode`` pads the concatenated encoder outputs to the next
+    multiple of ``pad_chunks`` chunks (bounded compile count).
+    """
+
+    def __init__(self, model: ConformerCTC, variables: dict,
+                 chunk_seconds: float = 0.5, sample_rate: int = 16000,
+                 text_featurizer=None, phone_featurizer=None,
+                 pad_chunks: int = 4):
+        self.model = model
+        self.variables = variables
+        self.sample_rate = sample_rate
+        cfg = model.cfg
+        quantum = cfg.hop_size * cfg.reduction_factor
+        raw = int(chunk_seconds * sample_rate)
+        self.chunk_samples = max(quantum, (raw // quantum) * quantum)
+        self.chunk_frames = self.chunk_samples // quantum
+        self.blank = model.num_phone_classes - 1
+        self.text_featurizer = text_featurizer
+        self.phone_featurizer = phone_featurizer
+        self.pad_chunks = pad_chunks
+
+        self._encode = jax.jit(
+            lambda v, wav: model.apply(v, wav, method=ConformerCTC.encode))
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _decode(v, enc, length):
+            logits = model.apply(v, enc, method=ConformerCTC.ctc_logits)
+            ids, lens = ctc_greedy_decode(logits, length,
+                                          blank_id=self.blank)
+            padded = jnp.concatenate(
+                [ids, jnp.zeros((ids.shape[0], 10), ids.dtype)], axis=1)
+            char_logits = model.apply(v, padded, enc,
+                                      method=ConformerCTC.translate)
+            return ids, lens, jnp.argmax(char_logits, -1).astype(jnp.int32)
+
+        self._decode = _decode
+
+    # -- engine API ---------------------------------------------------------
+    def extract_feature(self, audio: np.ndarray) -> np.ndarray:
+        """wav chunk [n<=chunk_samples] -> encoder output
+        [valid_frames, dmodel]."""
+        n = len(audio)
+        n_valid = max(1, int(np.ceil(n / (self.chunk_samples
+                                          / self.chunk_frames))))
+        buf = np.zeros((1, self.chunk_samples), np.float32)
+        buf[0, :n] = audio[:self.chunk_samples]
+        enc = np.asarray(self._encode(self.variables, jnp.asarray(buf)))[0]
+        return enc[:min(n_valid, enc.shape[0])]
+
+    def decode(self, enc_outputs: Sequence[np.ndarray]) -> List[str]:
+        """Concatenated encoder outputs -> decoded char tokens."""
+        if not enc_outputs:
+            return []
+        enc = np.concatenate([np.asarray(e) for e in enc_outputs], axis=0)
+        t = enc.shape[0]
+        cap_chunks = -(-t // self.chunk_frames)
+        cap_chunks = -(-cap_chunks // self.pad_chunks) * self.pad_chunks
+        cap = cap_chunks * self.chunk_frames
+        buf = np.zeros((1, cap, enc.shape[1]), np.float32)
+        buf[0, :t] = enc
+        ids, lens, char_ids = self._decode(
+            self.variables, jnp.asarray(buf),
+            jnp.asarray([t], jnp.int32))
+        chars = []
+        tf = self.text_featurizer
+        for v in np.asarray(char_ids)[0]:
+            if tf is not None and (v == 0 or v == tf.endid()):
+                break
+            if tf is None and v == 0:
+                break
+            chars.append(tf.iextract(int(v)) if tf is not None else str(v))
+        return chars
+
+    def decode_phones(self, enc_outputs: Sequence[np.ndarray]) -> List[str]:
+        if not enc_outputs:
+            return []
+        enc = np.concatenate([np.asarray(e) for e in enc_outputs], axis=0)
+        t = enc.shape[0]
+        cap = -(-t // self.chunk_frames) * self.chunk_frames
+        buf = np.zeros((1, cap, enc.shape[1]), np.float32)
+        buf[0, :t] = enc
+        ids, lens, _ = self._decode(self.variables, jnp.asarray(buf),
+                                    jnp.asarray([t], jnp.int32))
+        n = int(lens[0])
+        seq = list(np.asarray(ids)[0, :n])
+        if self.phone_featurizer is not None:
+            return self.phone_featurizer.iextract(seq)
+        return [str(s) for s in seq]
+
+
+class VADEngine:
+    """Jitted VAD logits over framed waveform windows (vad/src/vad.py)."""
+
+    def __init__(self, model, variables: dict, frame_input: int = 80):
+        self.frame_input = frame_input
+        self._infer = jax.jit(
+            lambda v, x: model.apply(v, x, training=False)[0])
+        self.variables = variables
+
+    def inference(self, frames: np.ndarray) -> np.ndarray:
+        """[1, n_frames, frame_input] -> [n_frames] logits."""
+        out = self._infer(self.variables, jnp.asarray(frames, jnp.float32))
+        return np.asarray(out).flatten()
+
+
+class PuncEngine:
+    """Punctuation recovery (punc_recover.py:46-62): insert punctuation
+    token after char i when argmax class >= 2 with prob >= threshold."""
+
+    def __init__(self, model, variables: dict, char_featurizer,
+                 punc_tokens: Sequence[str], threshold: float = 0.65,
+                 max_len: int = 64):
+        self.model = model
+        self.variables = variables
+        self.char_featurizer = char_featurizer
+        self.punc_tokens = list(punc_tokens)
+        self.threshold = threshold
+        self.max_len = max_len
+        self._infer = jax.jit(
+            lambda v, ids: model.apply(v, ids, training=False)[0])
+
+    def punc_recover(self, chars: Sequence[str]) -> List[str]:
+        f = self.char_featurizer
+        known = [c for c in chars if f.has(c)]
+        if not known:
+            return list(chars)
+        ids = [f.startid()] + f.extract(known) + [f.endid()]
+        buf = np.zeros((1, self.max_len), np.int32)
+        n = min(len(ids), self.max_len)
+        buf[0, :n] = ids[:n]
+        logits = np.asarray(self._infer(self.variables, jnp.asarray(buf)))[0]
+        probs = np.exp(logits - logits.max(-1, keepdims=True))
+        probs /= probs.sum(-1, keepdims=True)
+        out: List[str] = []
+        for pos, ch in enumerate(known, start=1):
+            out.append(ch)
+            if pos >= self.max_len:
+                continue
+            best = int(np.argmax(probs[pos]))
+            if best >= 2 and probs[pos, best] >= self.threshold:
+                idx = best - 2
+                if idx < len(self.punc_tokens):
+                    out.append(self.punc_tokens[idx])
+        return out

@@ -1,0 +1,217 @@
+"""Model server: Unix/TCP socket front for the JAX engines.
+
+The C++ serving host (serve/cpp — the TPU-native equivalent of the
+reference's Inference/CppInference onnxruntime session) implements wav IO,
+the Tokener, the VAD state machine, and CTC greedy decoding natively, and
+calls this server only for the three tensor ops that must run on the TPU:
+
+  op "vad"        f32 [1, N, frame]        -> f32 [N]      voice logits
+  op "encode"     f32 [1, chunk_samples]   -> f32 [T', d]  encoder output
+  op "ctc_logits" f32 [1, T, d]            -> f32 [T, V]   phone logits
+  op "translate"  i32 [1, U], f32 [1, T, d]-> f32 [U, Vc]  char logits
+
+Wire protocol (little endian):
+  request  = u32 op_len | op utf8 | u32 n_tensors | tensor*
+  tensor   = u8 dtype (0=f32, 1=i32) | u32 ndim | u32 dims[ndim] | payload
+  response = u32 status (0 ok) | u32 n_tensors | tensor*   (status!=0:
+             one i32[0] tensor and a trailing u32 msg_len + utf8 message)
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import socket
+import struct
+import threading
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_DTYPES = {0: np.float32, 1: np.int32}
+_DTYPE_CODES = {np.dtype(np.float32): 0, np.dtype(np.int32): 1}
+
+
+def _read_exact(conn: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        part = conn.recv(n - len(buf))
+        if not part:
+            raise ConnectionError("peer closed")
+        buf += part
+    return buf
+
+
+def read_tensor(conn: socket.socket) -> np.ndarray:
+    dtype_code = struct.unpack("<B", _read_exact(conn, 1))[0]
+    ndim = struct.unpack("<I", _read_exact(conn, 4))[0]
+    dims = struct.unpack(f"<{ndim}I", _read_exact(conn, 4 * ndim))
+    dtype = _DTYPES[dtype_code]
+    count = int(np.prod(dims)) if dims else 1
+    data = _read_exact(conn, count * dtype().itemsize)
+    return np.frombuffer(data, dtype=dtype).reshape(dims)
+
+
+def write_tensor(conn: socket.socket, arr: np.ndarray) -> None:
+    arr = np.ascontiguousarray(arr)
+    code = _DTYPE_CODES[arr.dtype]
+    conn.sendall(struct.pack("<B", code))
+    conn.sendall(struct.pack("<I", arr.ndim))
+    conn.sendall(struct.pack(f"<{arr.ndim}I", *arr.shape))
+    conn.sendall(arr.tobytes())
+
+
+class ModelServer:
+    """Serves named tensor ops over a Unix (or TCP) socket."""
+
+    def __init__(self, ops: Dict[str, Callable[..., np.ndarray]],
+                 unix_path: Optional[str] = None,
+                 tcp_port: Optional[int] = None):
+        self.ops = ops
+        self.unix_path = unix_path
+        self.tcp_port = tcp_port
+        self._sock: Optional[socket.socket] = None
+        self._thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+
+    # -- lifecycle ----------------------------------------------------------
+    def start(self) -> None:
+        if self.unix_path:
+            if os.path.exists(self.unix_path):
+                os.unlink(self.unix_path)
+            self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            self._sock.bind(self.unix_path)
+        else:
+            self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            self._sock.bind(("127.0.0.1", self.tcp_port or 0))
+            self.tcp_port = self._sock.getsockname()[1]
+        self._sock.listen(4)
+        self._sock.settimeout(0.2)
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+        logger.info("model server listening on %s",
+                    self.unix_path or f"127.0.0.1:{self.tcp_port}")
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+        if self._sock is not None:
+            self._sock.close()
+        if self.unix_path and os.path.exists(self.unix_path):
+            os.unlink(self.unix_path)
+
+    # -- serving ------------------------------------------------------------
+    def _serve(self) -> None:
+        assert self._sock is not None
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._sock.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            t = threading.Thread(target=self._handle_conn, args=(conn,),
+                                 daemon=True)
+            t.start()
+
+    def _handle_conn(self, conn: socket.socket) -> None:
+        try:
+            conn.settimeout(60)
+            while not self._stop.is_set():
+                try:
+                    op_len = struct.unpack("<I", _read_exact(conn, 4))[0]
+                except (ConnectionError, socket.timeout):
+                    return
+                op = _read_exact(conn, op_len).decode("utf-8")
+                n = struct.unpack("<I", _read_exact(conn, 4))[0]
+                tensors = [read_tensor(conn) for _ in range(n)]
+                try:
+                    fn = self.ops[op]
+                    out = fn(*tensors)
+                    if isinstance(out, np.ndarray):
+                        out = [out]
+                    conn.sendall(struct.pack("<I", 0))
+                    conn.sendall(struct.pack("<I", len(out)))
+                    for t in out:
+                        write_tensor(conn, np.asarray(t))
+                except Exception as e:  # noqa: BLE001 - report to client
+                    logger.exception("op %s failed", op)
+                    msg = str(e).encode("utf-8")[:1000]
+                    conn.sendall(struct.pack("<I", 1))
+                    conn.sendall(struct.pack("<I", 1))
+                    write_tensor(conn, np.zeros((0,), np.int32))
+                    conn.sendall(struct.pack("<I", len(msg)) + msg)
+        finally:
+            conn.close()
+
+
+def build_asr_ops(asr_engine, vad_engine=None) -> Dict[str, Callable]:
+    """Standard op table over the serving engines."""
+    import jax.numpy as jnp
+
+    model = asr_engine.model
+    variables = asr_engine.variables
+
+    def _enc2d(enc: np.ndarray) -> np.ndarray:
+        """Accept [T, d] or [1, T, d]."""
+        if enc.ndim == 3:
+            enc = enc.reshape(-1, enc.shape[-1])
+        return enc
+
+    def encode(wav: np.ndarray) -> np.ndarray:
+        return asr_engine.extract_feature(wav.reshape(-1))
+
+    def ctc_logits(enc: np.ndarray) -> np.ndarray:
+        from tensorflowasr_tpu.models.conformer import ConformerCTC
+        out = model.apply(variables, jnp.asarray(_enc2d(enc)[None]),
+                          method=ConformerCTC.ctc_logits)
+        return np.asarray(out)[0]
+
+    def translate(ids: np.ndarray, enc: np.ndarray) -> np.ndarray:
+        from tensorflowasr_tpu.models.conformer import ConformerCTC
+        out = model.apply(variables, jnp.asarray(ids.reshape(1, -1)),
+                          jnp.asarray(_enc2d(enc)[None]),
+                          method=ConformerCTC.translate)
+        return np.asarray(out)[0]
+
+    ops = {"encode": encode, "ctc_logits": ctc_logits,
+           "translate": translate}
+    if vad_engine is not None:
+        ops["vad"] = lambda frames: vad_engine.inference(frames)
+    return ops
+
+
+class ModelClient:
+    """Python-side client (protocol reference + test double for the C++
+    client)."""
+
+    def __init__(self, unix_path: Optional[str] = None,
+                 tcp_port: Optional[int] = None):
+        if unix_path:
+            self.sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            self.sock.connect(unix_path)
+        else:
+            self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            self.sock.connect(("127.0.0.1", tcp_port))
+
+    def call(self, op: str, *tensors: np.ndarray) -> List[np.ndarray]:
+        enc = op.encode("utf-8")
+        self.sock.sendall(struct.pack("<I", len(enc)) + enc)
+        self.sock.sendall(struct.pack("<I", len(tensors)))
+        for t in tensors:
+            write_tensor(self.sock, np.asarray(t))
+        status = struct.unpack("<I", _read_exact(self.sock, 4))[0]
+        n = struct.unpack("<I", _read_exact(self.sock, 4))[0]
+        out = [read_tensor(self.sock) for _ in range(n)]
+        if status != 0:
+            msg_len = struct.unpack("<I", _read_exact(self.sock, 4))[0]
+            msg = _read_exact(self.sock, msg_len).decode("utf-8")
+            raise RuntimeError(f"server error for op {op}: {msg}")
+        return out
+
+    def close(self):
+        self.sock.close()

@@ -201,7 +201,11 @@ class CTCTrainer:
                 "CTCTrainer requires blank as the last class "
                 "(blank_at_zero: False — parity with the shipped configs)")
         self.blank_id = blank_id
-        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        if mesh is None:
+            batch = (rc.get("batch_size") if hasattr(rc, "get")
+                     else rc["batch_size"]) or 16
+            mesh = mesh_lib.make_data_mesh(int(batch))
+        self.mesh = mesh
         self.tx = make_optimizer(config["optimizer_config"],
                                  dmodel=self.model_cfg.dmodel,
                                  use_warmup=use_warmup)

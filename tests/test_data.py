@@ -1,0 +1,240 @@
+"""Data-layer tests with synthetic wavs and vocabs: augmentation math,
+energy splitting, bucketed AM/chunk batching, punc targets."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tensorflowasr_tpu.data.augment import (
+    Augmentation,
+    SignalHz,
+    SignalMask,
+    SignalSpeed,
+    istft,
+    phase_vocoder_stretch,
+    pitch_shift,
+    stft,
+)
+from tensorflowasr_tpu.data.vad_dataloader import effects_split
+from tensorflowasr_tpu.utils.audio import write_wav
+from tensorflowasr_tpu.utils.config import UserConfig
+
+
+def _sine(freq, seconds, sr=16000, amp=0.5):
+    t = np.arange(int(seconds * sr)) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+# -- augmentation -----------------------------------------------------------
+
+def test_stft_istft_roundtrip():
+    wav = _sine(440, 0.5)
+    spec = stft(wav)
+    rec = istft(spec, length=len(wav))
+    err = np.abs(rec[800:-800] - wav[800:-800]).max()
+    assert err < 1e-3, err
+
+
+def test_phase_vocoder_changes_length():
+    wav = _sine(440, 1.0)
+    fast = phase_vocoder_stretch(wav, 2.0)
+    slow = phase_vocoder_stretch(wav, 0.5)
+    assert abs(len(fast) - len(wav) // 2) < 1024
+    assert abs(len(slow) - len(wav) * 2) < 1024
+
+
+def test_pitch_shift_preserves_length_and_shifts_freq():
+    sr = 16000
+    wav = _sine(440, 1.0, sr)
+    up = pitch_shift(wav, sr, 12.0)          # one octave up
+    assert len(up) == len(wav)
+    spec = np.abs(np.fft.rfft(up[2000:10000] * np.hanning(8000)))
+    peak_hz = np.argmax(spec) * sr / 8000
+    assert 800 < peak_hz < 960, peak_hz      # ~880 Hz
+
+
+def test_mask_speed_hz_augmenters():
+    wav = _sine(300, 0.5)
+    m = SignalMask(zone=(0.1, 0.9), mask_ratio=0.5).augment(wav.copy())
+    assert m.shape == wav.shape
+    assert not np.allclose(m, wav)
+    s = SignalSpeed(factor=(0.9, 1.1)).augment(wav.copy())
+    assert np.isfinite(s).all()
+    h = SignalHz().augment(wav.copy())
+    assert h.shape == wav.shape and np.isfinite(h).all()
+
+
+def test_augmentation_registry_and_quantize():
+    aug = Augmentation({"masking": {"active": True, "zone": "(0.1, 0.9)",
+                                    "mask_ratio": 0.3,
+                                    "mask_with_noise": False}})
+    assert aug.available()
+    wav = _sine(200, 0.2)
+    out = aug.process(wav)
+    assert out.dtype == np.float32
+    assert np.abs(out).max() <= 1.0
+    # int16 quantization grid
+    assert np.allclose(out * 32768, np.round(out * 32768), atol=1e-3)
+
+    with pytest.raises(KeyError):
+        Augmentation({"nope": {"active": True}})
+
+
+def test_effects_split_finds_voiced_region():
+    sr = 8000
+    sil = np.zeros(4000, np.float32)
+    voice = _sine(300, 1.0, sr, amp=0.8)
+    wav = np.concatenate([sil, voice, sil])
+    cuts = effects_split(wav, top_db=20)
+    assert len(cuts) >= 1
+    s, e = cuts[0][0], cuts[-1][1]
+    assert abs(s - 4000) < 900 and abs(e - 12000) < 900
+
+
+# -- dataloaders ------------------------------------------------------------
+
+@pytest.fixture()
+def asr_data(tmp_path):
+    sr = 16000
+    wavs = []
+    texts = ["ni3 hao3", "shi4 jie4", "ni3 shi4"]
+    for i, txt in enumerate(texts):
+        p = tmp_path / f"u{i}.wav"
+        write_wav(str(p), _sine(200 + 50 * i, 1.0 + 0.5 * i, sr), sr)
+        wavs.append(f"{p}\t{txt}")
+    train_list = tmp_path / "train.list"
+    train_list.write_text("\n".join(wavs), encoding="utf-8")
+
+    phone_vocab = tmp_path / "phones.txt"
+    phone_vocab.write_text("\n".join(["n", "i3", "h", "ao3", "sh", "i4",
+                                      "j", "ie4"]), encoding="utf-8")
+    char_vocab = tmp_path / "chars.txt"
+    char_vocab.write_text("\n".join(["<S>", "</S>", "ni3", "hao3", "shi4",
+                                     "jie4"]), encoding="utf-8")
+    p2p = {"ni3": ["n", "i3"], "hao3": ["h", "ao3"],
+           "shi4": ["sh", "i4"], "jie4": ["j", "ie4"]}
+    config = {
+        "speech_config": {"sample_rate": sr, "stride_ms": 10,
+                          "reduction_factor": 4, "wav_max_duration": 4},
+        "running_config": {"train_list": str(train_list),
+                           "eval_list": str(train_list), "batch_size": 2},
+        "augments_config": None,
+    }
+    return config, phone_vocab, char_vocab, p2p
+
+
+def _featurizers(phone_vocab, char_vocab):
+    from tensorflowasr_tpu.utils.text import TextFeaturizer
+
+    phone_f = TextFeaturizer({"vocabulary": str(phone_vocab),
+                              "blank_at_zero": False})
+    char_f = TextFeaturizer({"vocabulary": str(char_vocab),
+                             "blank_at_zero": False})
+    return phone_f, char_f
+
+
+def test_am_dataloader_static_shapes(asr_data):
+    from tensorflowasr_tpu.data.am_dataloader import AMDataLoader
+
+    config, phone_vocab, char_vocab, p2p = asr_data
+    phone_f, char_f = _featurizers(phone_vocab, char_vocab)
+    dl = AMDataLoader(config, phone_f, char_f, pinyin2phone=p2p,
+                      transcripts_are_pinyin=True,
+                      bucket_seconds=(2.0, 4.0))
+    b1 = dl.generate(train=True)
+    assert b1["wav"].ndim == 2
+    assert b1["wav"].shape[0] == 2
+    # static per-bucket capacities: another batch from the same bucket has
+    # identical shapes
+    shapes = {k: v.shape for k, v in b1.items()}
+    for _ in range(3):
+        b = dl.generate(train=True)
+        if b["wav"].shape == b1["wav"].shape:
+            assert {k: v.shape for k, v in b.items()} == shapes
+    # lengths consistent
+    assert (b1["input_length"] >= b1["phone_length"]).all()
+    assert (b1["phone_length"] > 0).all()
+    assert (b1["phone_length"] <= b1["phones"].shape[1]).all()
+    # chars end with </S>
+    for i in range(2):
+        last = b1["chars"][i, b1["char_length"][i] - 1]
+        assert last == char_f.endid()
+
+
+def test_chunk_dataloader_extra_fields(asr_data):
+    from tensorflowasr_tpu.data.chunk_dataloader import ChunkDataLoader
+
+    config, phone_vocab, char_vocab, p2p = asr_data
+    phone_f, char_f = _featurizers(phone_vocab, char_vocab)
+    dl = ChunkDataLoader(config, phone_f, char_f, chunk_num=16,
+                         pinyin2phone=p2p, transcripts_are_pinyin=True,
+                         bucket_seconds=(2.0, 4.0))
+    b = dl.generate(train=True)
+    assert b["wav"].shape[1] % dl.chunk_samples == 0
+    n_chunks = b["wav"].shape[1] // dl.chunk_samples
+    assert (b["input_length"] <= n_chunks * dl.sub_length).all()
+    assert (b["extra_phone_length"] > 0).all()
+    assert (b["extra_char_length"] > 0).all()
+    assert b["extra_phones"].shape == b["phones"].shape
+
+
+def test_punc_dataloader(tmp_path):
+    from tensorflowasr_tpu.data.punc_dataloader import PuncDataLoader
+    from tensorflowasr_tpu.utils.text import TextFeaturizer
+
+    vocab = tmp_path / "chars.txt"
+    vocab.write_text("\n".join(["<S>", "</S>"] + list("abcdef")),
+                     encoding="utf-8")
+    char_f = TextFeaturizer({"vocabulary": str(vocab),
+                             "blank_at_zero": True})
+    lines = ["ab，cd。", "abc！", "fed，ab。"]
+    train = tmp_path / "train.list"
+    train.write_text("\n".join(lines), encoding="utf-8")
+    config = {"running_config": {"train_list": str(train),
+                                 "eval_list": str(train),
+                                 "batch_size": 2,
+                                 "outdir": str(tmp_path / "out")}}
+    dl = PuncDataLoader(config, char_f, punc_tokens=["，", "。", "！"],
+                        max_len=16)
+    chars, labels = dl.get_target("ab，cd。")
+    assert chars == ["a", "b", "c", "d"]
+    assert labels == [1, 2, 1, 3]       # ， -> 2, 。 -> 3
+
+    b = dl.generate(train=True)
+    assert b["ids"].shape == (2, 16)
+    assert b["punc_labels"].shape == (2, 16)
+    assert (b["punc_labels"] < dl.num_punc_classes).all()
+    # resumable state
+    dl.save_state()
+    assert os.path.exists(dl.state_path)
+    dl2 = PuncDataLoader(config, char_f, punc_tokens=["，", "。", "！"],
+                         max_len=16)
+    assert dl2.train_offset == dl.train_offset
+
+
+def test_vad_dataloader(tmp_path):
+    from tensorflowasr_tpu.data.vad_dataloader import VADDataLoader
+
+    sr = 8000
+    paths = []
+    for i in range(4):
+        p = tmp_path / f"v{i}.wav"
+        write_wav(str(p), _sine(250 + 30 * i, 0.6, sr, amp=0.7), sr)
+        paths.append(str(p))
+    train = tmp_path / "train.list"
+    train.write_text("\n".join(paths), encoding="utf-8")
+    config = {
+        "speech_config": {"sample_rate": sr, "frame_input": 80,
+                          "max_frames": 8000, "voice_thread": 0.4},
+        "running_config": {"train_list": str(train),
+                           "eval_list": str(train), "batch_size": 2},
+        "augments_config": None,
+    }
+    dl = VADDataLoader(config)
+    b = dl.generate(train=True)
+    assert b["x"].shape == (2, 100, 80)
+    assert b["labels"].shape == (2, 100, 1)
+    assert b["wav_target"].shape == (2, 100, 80)
+    assert set(np.unique(b["labels"])) <= {0.0, 1.0}
+    assert b["labels"].sum() > 0        # some voiced frames found
