@@ -67,6 +67,7 @@ class ConformerConfig:
     stride_ms: int = 10
     mel_layer_type: str = "Melspectrogram"   # Melspectrogram | Spectrogram | leaf
     mel_layer_trainable: bool = False
+    add_wav_info: bool = False               # add WavePickModel features
     # streaming (block) variant
     streaming: bool = False
     streaming_bucket: float = 0.5            # seconds per chunk
@@ -119,6 +120,7 @@ class ConformerConfig:
             stride_ms=g(sc, "stride_ms", 10),
             mel_layer_type=g(sc, "mel_layer_type", "Melspectrogram"),
             mel_layer_trainable=g(sc, "mel_layer_trainable", False),
+            add_wav_info=g(sc, "add_wav_info", False),
             streaming=g(sc, "streaming", False),
             streaming_bucket=g(sc, "streaming_bucket", 0.5),
         )
@@ -173,6 +175,13 @@ class ConformerEncoder(nn.Module):
         x = ConvSubsampling(c.dmodel, c.reduction_factor, c.dropout,
                             dtype=c.dtype,
                             name="conv_subsampling")(x, training)
+        if c.add_wav_info:
+            from tensorflowasr_tpu.models.wav_model import WavePickModel
+
+            wav_feat = WavePickModel(
+                c.dmodel, c.hop_size * c.reduction_factor, dtype=c.dtype,
+                name="wav_layer")(wav, training)
+            x = x + wav_feat[:, :x.shape[1]]
         for i in range(c.num_blocks):
             x = ConformerBlock(
                 input_dim=c.dmodel, dropout=c.dropout,
@@ -209,6 +218,13 @@ class StreamingConformerEncoder(nn.Module):
         y = ConvSubsampling(c.dmodel, c.reduction_factor, c.dropout,
                             dtype=c.dtype,
                             name="conv_subsampling")(y, training)
+        if c.add_wav_info:
+            from tensorflowasr_tpu.models.wav_model import WavePickModel
+
+            wav_feat = WavePickModel(
+                c.dmodel, c.hop_size * c.reduction_factor, dtype=c.dtype,
+                name="wav_layer")(x, training)
+            y = y + wav_feat[:, :y.shape[1]]
         for i in range(c.num_blocks):
             y = ConformerBlock(
                 input_dim=c.dmodel, dropout=c.dropout,

@@ -262,19 +262,27 @@ class CTCTrainer:
         os.makedirs(self.outdir, exist_ok=True)
         metrics_path = metrics_path or os.path.join(self.outdir,
                                                     "metrics.jsonl")
+        from tensorflowasr_tpu.utils.telemetry import ThroughputMeter
+
         t0 = time.time()
         accum = []
+        meter = ThroughputMeter()
+        sr = self.model_cfg.sample_rate
         with open(metrics_path, "a") as mf:
             for _ in range(total_steps):
                 batch = next(train_iter)
                 batch = mesh_lib.shard_batch(batch, self.mesh)
                 self.state, metrics = self.train_step(self.state, batch, rng)
+                b, t = batch["wav"].shape
+                meter.update(b, b * t / sr)
                 accum.append(metrics)
                 step = int(self.state.step)
                 if step % self.log_interval == 0:
+                    jax.block_until_ready(metrics["train_loss"])
                     m = {k: float(np.mean([float(a[k]) for a in accum]))
                          for k in accum[0]}
-                    m.update(step=step, wall_s=time.time() - t0)
+                    m.update(step=step, wall_s=time.time() - t0,
+                             **meter.rates())
                     logger.info("train %s", m)
                     mf.write(json.dumps(m) + "\n")
                     mf.flush()
