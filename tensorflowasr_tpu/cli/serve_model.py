@@ -1,0 +1,125 @@
+"""Launch the model server (socket front for the C++ serving host).
+
+Loads the latest checkpoint, builds the jitted engines, and serves the
+tensor ops (vad / encode / ctc_logits / translate) on a unix socket or
+TCP port until interrupted.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+import time
+
+from tensorflowasr_tpu.cli.common import (
+    build_featurizers,
+    config_parser,
+    load_config,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def main(argv=None) -> int:
+    parser = config_parser(__doc__)
+    parser.add_argument("--socket", default=None,
+                        help="unix socket path (default: TCP)")
+    parser.add_argument("--port", type=int, default=8502)
+    parser.add_argument("--vad_data_config", default=None)
+    parser.add_argument("--vad_model_config", default=None)
+    args = parser.parse_args(argv)
+    config = load_config(args)
+    phone_f, char_f, _, _, _ = build_featurizers(config)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tensorflowasr_tpu.serve.engines import ASREngine, VADEngine
+    from tensorflowasr_tpu.serve.model_server import (
+        ModelServer, build_asr_ops)
+    from tensorflowasr_tpu.train.asr_trainer import CTCTrainer
+
+    trainer = CTCTrainer(config, phone_f.num_classes, char_f.num_classes,
+                         blank_id=phone_f.blank,
+                         compute_dtype=args.compute_dtype)
+    sr = trainer.model_cfg.sample_rate
+    example = {
+        "wav": jnp.zeros((1, sr), jnp.float32),
+        "phones": jnp.ones((1, 4), jnp.int32),
+    }
+    trainer.init_state(example)
+    if not trainer.restore():
+        logger.warning("no ASR checkpoint found under %s; serving random "
+                       "init", trainer.outdir)
+    variables = {"params": trainer.state.params}
+    if trainer.state.batch_stats is not None:
+        variables["batch_stats"] = trainer.state.batch_stats
+    asr_engine = ASREngine(trainer.model, variables, sample_rate=sr,
+                           text_featurizer=char_f,
+                           phone_featurizer=phone_f)
+
+    vad_engine = None
+    if args.vad_data_config and args.vad_model_config:
+        from tensorflowasr_tpu.models.vad import OfflineVAD, OnlineVAD
+        from tensorflowasr_tpu.utils.config import UserConfig
+
+        vcfg = UserConfig(args.vad_data_config, args.vad_model_config)
+        vsc = vcfg["speech_config"] or {}
+        vmc = vcfg["model_config"] or {}
+        cls = (OnlineVAD if (vmc["name"] or "CNN_Online_VAD")
+               == "CNN_Online_VAD" else OfflineVAD)
+        vad_model = cls(dmodel=vmc["dmodel"] or 32,
+                        frame_input=vsc["frame_input"] or 80)
+        vvars = vad_model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 10, vsc["frame_input"] or 80), jnp.float32))
+        # restore VAD weights when a checkpoint dir exists
+        from tensorflowasr_tpu.train.checkpoint import CheckpointManager
+        import os
+        vdir = (vcfg["running_config"] or {})["outdir"]
+        if vdir and os.path.isdir(os.path.join(vdir, "checkpoints")):
+            from tensorflowasr_tpu.train.state import (
+                ASRTrainState, make_optimizer)
+            vs = ASRTrainState.create(
+                apply_fn=vad_model.apply, params=vvars["params"],
+                tx=make_optimizer({}))
+            mgr = CheckpointManager(os.path.join(vdir, "checkpoints"))
+            restored = mgr.restore_latest(vs)
+            if restored is not None:
+                vvars = {"params": restored.params}
+        vad_engine = VADEngine(vad_model, vvars,
+                               frame_input=vsc["frame_input"] or 80)
+
+    ops = build_asr_ops(asr_engine, vad_engine)
+
+    # warm up: compile every op on the MAIN thread before accepting
+    # connections — jit compiles triggered from handler threads can hang
+    # on some backends, and cold first-request latency is bad either way
+    logger.info("warming up ops (compiling)...")
+    enc = ops["encode"](np.zeros((1, asr_engine.chunk_samples), np.float32))
+    logger.info("encode compiled: %s", enc.shape)
+    logits = ops["ctc_logits"](enc)
+    logger.info("ctc_logits compiled: %s", logits.shape)
+    ops["translate"](np.zeros((1, 8), np.int32), enc)
+    logger.info("translate compiled")
+    ops["vad"](np.zeros((1, 10, 80), np.float32))
+    logger.info("warmup done")
+
+    server = ModelServer(ops, unix_path=args.socket,
+                         tcp_port=None if args.socket else args.port,
+                         inline_exec=False)
+    server.start()
+    endpoint = args.socket or f"127.0.0.1:{server.tcp_port}"
+    print(f"model server ready on {endpoint}", flush=True)
+    try:
+        # op execution (incl. any residual jit compiles) stays on the
+        # main thread — daemon-thread compiles can hang on tunneled TPUs
+        server.run_worker_loop()
+    except KeyboardInterrupt:
+        server.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -64,17 +64,30 @@ def write_tensor(conn: socket.socket, arr: np.ndarray) -> None:
 
 
 class ModelServer:
-    """Serves named tensor ops over a Unix (or TCP) socket."""
+    """Serves named tensor ops over a Unix (or TCP) socket.
+
+    Socket IO runs in per-connection threads; op EXECUTION is funneled
+    through one queue so it can run on a single thread — call
+    :meth:`run_worker_loop` from the main thread for backends where jit
+    compilation must not happen on daemon threads (e.g. remote TPU
+    tunnels), or pass ``inline_exec=True`` to execute directly in the
+    handler threads (fine on CPU).
+    """
 
     def __init__(self, ops: Dict[str, Callable[..., np.ndarray]],
                  unix_path: Optional[str] = None,
-                 tcp_port: Optional[int] = None):
+                 tcp_port: Optional[int] = None,
+                 inline_exec: bool = True):
         self.ops = ops
         self.unix_path = unix_path
         self.tcp_port = tcp_port
+        self.inline_exec = inline_exec
         self._sock: Optional[socket.socket] = None
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
+        import queue
+
+        self._work: "queue.Queue" = queue.Queue()
 
     # -- lifecycle ----------------------------------------------------------
     def start(self) -> None:
@@ -104,6 +117,31 @@ class ModelServer:
         if self.unix_path and os.path.exists(self.unix_path):
             os.unlink(self.unix_path)
 
+    def run_worker_loop(self) -> None:
+        """Execute queued ops on the CALLING thread until stop()."""
+        import queue
+
+        while not self._stop.is_set():
+            try:
+                fn, args, done = self._work.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            try:
+                done["result"] = fn(*args)
+            except Exception as e:  # noqa: BLE001 - forwarded to client
+                done["error"] = e
+            done["event"].set()
+
+    def _execute(self, fn, args):
+        if self.inline_exec:
+            return fn(*args)
+        done = {"event": threading.Event()}
+        self._work.put((fn, args, done))
+        done["event"].wait()
+        if "error" in done:
+            raise done["error"]
+        return done["result"]
+
     # -- serving ------------------------------------------------------------
     def _serve(self) -> None:
         assert self._sock is not None
@@ -131,7 +169,7 @@ class ModelServer:
                 tensors = [read_tensor(conn) for _ in range(n)]
                 try:
                     fn = self.ops[op]
-                    out = fn(*tensors)
+                    out = self._execute(fn, tensors)
                     if isinstance(out, np.ndarray):
                         out = [out]
                     conn.sendall(struct.pack("<I", 0))
@@ -182,6 +220,18 @@ def build_asr_ops(asr_engine, vad_engine=None) -> Dict[str, Callable]:
            "translate": translate}
     if vad_engine is not None:
         ops["vad"] = lambda frames: vad_engine.inference(frames)
+    else:
+        # energy fallback (SilenceDetector semantics): positive logit for
+        # frames whose SPL clears ~20 dB — keeps the serving session
+        # usable before a VAD model is trained
+        def energy_vad(frames: np.ndarray) -> np.ndarray:
+            f = frames.reshape(-1, frames.shape[-1])
+            spl = 20.0 * np.log(
+                np.sqrt(np.sum((f * 32768.0) ** 2, axis=-1))
+                / (f.shape[-1] + 1e-12) + 1e-12)
+            return (spl - 20.0).astype(np.float32)
+
+        ops["vad"] = energy_vad
     return ops
 
 

@@ -179,6 +179,36 @@ def make_predict_step(model: ConformerCTC, blank_id: int) -> Callable:
     return jax.jit(step)
 
 
+def make_beam_predict_step(model: ConformerCTC, blank_id: int,
+                           beam_width: int = 8) -> Callable:
+    """(state, wav, input_length) -> (phone ids, phone lens, char ids)
+    using on-chip CTC prefix beam search instead of greedy (the
+    ctc_decoders C++ beam path of the reference; inp_config.beam_width)."""
+    from tensorflowasr_tpu.ops.beam import ctc_beam_search_decode
+
+    def step(state: ASRTrainState, wav, input_length):
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        enc = model.apply(variables, wav, method=ConformerCTC.encode)
+        logits = model.apply(variables, enc, method=ConformerCTC.ctc_logits)
+        prefixes, lens, scores = ctc_beam_search_decode(
+            logits, input_length, blank_id=blank_id,
+            beam_width=beam_width,
+            prune_k=min(16, logits.shape[-1]))
+        phone_ids = prefixes[:, 0]
+        phone_lens = lens[:, 0]
+        padded = jnp.concatenate(
+            [phone_ids, jnp.zeros((phone_ids.shape[0], 10),
+                                  phone_ids.dtype)], axis=1)
+        char_logits = model.apply(variables, padded, enc,
+                                  method=ConformerCTC.translate)
+        char_ids = jnp.argmax(char_logits, -1).astype(jnp.int32)
+        return phone_ids, phone_lens, char_ids
+
+    return jax.jit(step)
+
+
 class CTCTrainer:
     """Config-driven trainer: builds the model, optimizer, mesh, and the
     jitted steps; runs the fit loop with log/eval/save intervals
