@@ -128,10 +128,11 @@ def export_chunk_streaming(model, variables, outdir: str, batch: int = 1,
 
     def decoder_fn(x, *flat):
         caches = dict(zip(dec_keys, flat))
-        logits, n_final, new = model.apply(
+        logits, provisional, n_final, new = model.apply(
             variables, x, caches,
             method=ChunkConformer.decoder_stream_step)
-        return (logits, n_final) + tuple(new[k] for k in dec_keys)
+        return (logits, provisional, n_final) + tuple(new[k]
+                                                      for k in dec_keys)
 
     graphs = {
         "picker": _export_one(

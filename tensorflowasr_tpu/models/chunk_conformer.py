@@ -765,10 +765,13 @@ class ChunkConformer(nn.Module):
         """One char-decoder step (decoder_stream_predict :841-852).
 
         picked [B, s, d] REAL picked frames (the session buffers until s
-        are available). Returns (char_logits [B, s, Vc], n_final [B], new
-        caches): the LAST n_final logits of the s emitted are final — with
-        decoder win_back wb, output lags wb picked frames behind input
-        until the ring warms up.
+        are available). Returns (char_logits [B, s, Vc], provisional
+        [B, wb, Vc], n_final [B], new caches): the LAST n_final logits of
+        the s emitted are final — with decoder win_back wb, output lags wb
+        picked frames behind input until the ring warms up. ``provisional``
+        holds lookahead-truncated logits for the wb pending ring frames
+        (the reference's "unvalid" live-text tail, test_chunk_asr.py:
+        83-123) — they are re-emitted as final on a later step.
         """
         s = picked.shape[1]
         zero_skip = jnp.zeros_like(caches["helper_fill"])
@@ -783,6 +786,7 @@ class ChunkConformer(nn.Module):
             self.decoder.stream_call(
                 x, caches["dec_mha"], caches["dec_cnn"],
                 caches["dec_fill"], skip)
+        provisional = logits[:, s:]
         logits = logits[:, :s]
         new_caches = {
             "helper_mha": new_h_mha, "helper_cnn": new_h_cnn,
@@ -791,7 +795,67 @@ class ChunkConformer(nn.Module):
             "dec_fill": new_d_fill,
             "ring": new_ring, "ring_fill": new_ring_fill,
         }
-        return logits, n_final, new_caches
+        return logits, provisional, n_final, new_caches
+
+
+    # -- fully fused streaming ---------------------------------------------
+    def init_stream_caches(self, batch: int) -> Dict[str, jnp.ndarray]:
+        caches = dict(self.init_picker_caches(batch))
+        for k, v in self.init_decoder_caches(batch).items():
+            caches[f"dec_{k}"] = v
+        return caches
+
+    def fused_stream_step(self, wav_chunk: jnp.ndarray,
+                          caches: Dict[str, jnp.ndarray]):
+        """One WHOLE streaming step as a single program: picker + feature
+        pick + (conditional) char-decoder advance for every new encoder
+        frame. The per-frame decoder runs unconditionally (sub_length tiny
+        s=1 steps per chunk) and its cache update is SELECTED by the
+        pick mask — compute-and-discard keeps shapes static while the
+        state stays exactly equal to the host-FIFO design.
+
+        Batch must be 1 (per-stream state machine). Returns
+        (phone_ids [t], char_ids [t] (-1 where no final char emitted),
+        prov_ids [wb] (-1 padded), n_final [1], new caches).
+        """
+        t = self.cfg.sub_length
+        wb = self.cfg.decoder.win_back
+        pk_keys = ["wav", "sub", "enc_mha", "enc_cnn", "enc_fill",
+                   "picker_mha", "picker_cnn", "picker_fill", "ring",
+                   "ring_fill"]
+        pk_caches = {k: caches[k] for k in pk_keys}
+        dec_caches = {k[len("dec_"):]: v for k, v in caches.items()
+                      if k.startswith("dec_")}
+        logits, hidden, n_final, new_pk = self.picker_stream_step(
+            wav_chunk, pk_caches)
+        phone_ids = jnp.argmax(logits[0], -1).astype(jnp.int32)     # [t]
+        f_idx = jnp.arange(t)
+        valid = f_idx >= (t - n_final[0])
+        keep = (phone_ids != self.phone_blank) & valid
+
+        char_ids = jnp.full((t,), -1, jnp.int32)
+        prov_ids = jnp.full((max(wb, 1),), -1, jnp.int32)
+        for f in range(t):                       # static unroll, t is tiny
+            x = hidden[:, f:f + 1]               # [1, 1, d]
+            lg, prov, nf, new_dec = self.decoder_stream_step(x, dec_caches)
+            emit = keep[f] & (nf[0] > 0)
+            char_ids = char_ids.at[f].set(
+                jnp.where(emit, jnp.argmax(lg[0, 0], -1).astype(jnp.int32),
+                          -1))
+            if wb > 0:
+                fill = new_dec["ring_fill"][0]
+                p = jnp.argmax(prov[0], -1).astype(jnp.int32)
+                slot_valid = jnp.arange(wb) >= (wb - fill)
+                prov_now = jnp.where(slot_valid, p, -1)
+                prov_ids = jnp.where(keep[f], prov_now, prov_ids)
+            dec_caches = jax.tree.map(
+                lambda new, old: jnp.where(keep[f], new, old),
+                new_dec, dec_caches)
+
+        out_caches = dict(new_pk)
+        for k, v in dec_caches.items():
+            out_caches[f"dec_{k}"] = v
+        return phone_ids, char_ids, prov_ids, n_final, out_caches
 
 
 def count_params(params) -> int:

@@ -146,7 +146,7 @@ def test_streaming_matches_offline_decoder(model_and_vars):
     finals = []
     for i in range(total // s):
         step_in = picked[:, i * s:(i + 1) * s]
-        logits, n_final, caches = model.apply(
+        logits, provisional, n_final, caches = model.apply(
             variables, step_in, caches,
             method=ChunkConformer.decoder_stream_step)
         logits = np.asarray(logits)
