@@ -235,10 +235,20 @@ class SignalRIR:
 
 
 class SignalVC:
-    def __init__(self):
-        raise ImportError(
-            "SignalVC needs the optional ONNX voice-conversion models "
-            "(onnxruntime + tts_for_asr checkpoints)")
+    """ONNX voice conversion (augments.py:29-38); needs onnxruntime + a
+    user-provided model file (the reference ships it out-of-band too)."""
+
+    def __init__(self, model_path: Optional[str] = None):
+        if not model_path:
+            raise ImportError(
+                "SignalVC needs a 'model_path' to an ONNX voice-conversion "
+                "model (plus the optional onnxruntime package)")
+        from tensorflowasr_tpu.data.tts_augment import VoiceConverter
+
+        self.vc = VoiceConverter(model_path)
+
+    def augment(self, wav: np.ndarray) -> np.ndarray:
+        return self.vc.convert(wav)
 
 
 AUGMENTATIONS = {
