@@ -34,6 +34,78 @@ def load_config(args) -> UserConfig:
     return UserConfig(args.data_config, args.model_config)
 
 
+def restore_or_warn(state, outdir: Optional[str], what: str):
+    """Restore the newest checkpoint under ``outdir``/checkpoints into
+    ``state``; warn on stderr when none exists (evaluating random init)."""
+    import os
+    import sys
+
+    if outdir:
+        from tensorflowasr_tpu.train.checkpoint import CheckpointManager
+
+        ckdir = os.path.join(outdir, "checkpoints")
+        if os.path.isdir(ckdir):
+            restored = CheckpointManager(ckdir).restore_latest(state)
+            if restored is not None:
+                return restored
+    print(f"warning: no {what} checkpoint found under "
+          f"{outdir or '(no outdir)'}; using random init", file=sys.stderr)
+    return state
+
+
+def build_vad_model(config: UserConfig):
+    """(model, example-initialized ASRTrainState) from config sections —
+    shared by train_vad / eval_vad / serve_model."""
+    import jax
+    import jax.numpy as jnp
+
+    from tensorflowasr_tpu.models.vad import OfflineVAD, OnlineVAD
+    from tensorflowasr_tpu.train.state import ASRTrainState, make_optimizer
+
+    sc = config.section("speech_config")
+    mc = config.section("model_config")
+    cls = OnlineVAD if (mc["name"] or "CNN_Online_VAD") == "CNN_Online_VAD" \
+        else OfflineVAD
+    frame_input = sc["frame_input"] or 80
+    model = cls(dmodel=mc["dmodel"] or 32, frame_input=frame_input)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 10, frame_input), jnp.float32))
+    state = ASRTrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        tx=make_optimizer(config.section("optimizer_config").data))
+    return model, state
+
+
+def build_punc_model(config: UserConfig):
+    """(char featurizer, punc dataloader, model, ASRTrainState) — shared
+    by train_punc / eval_punc."""
+    import jax
+    import jax.numpy as jnp
+
+    from tensorflowasr_tpu.data.punc_dataloader import PuncDataLoader
+    from tensorflowasr_tpu.models.punc import PuncConfig, PuncTransformer
+    from tensorflowasr_tpu.train.state import ASRTrainState, make_optimizer
+    from tensorflowasr_tpu.utils.text import TextFeaturizer
+
+    char_f = TextFeaturizer(dict(config.section("punc_vocab").data.items()))
+    bd_vocab_path = config.section("punc_biaodian")["vocabulary"]
+    punc_tokens = []
+    if bd_vocab_path:
+        bd_f = TextFeaturizer({"vocabulary": bd_vocab_path,
+                               "blank_at_zero": True})
+        punc_tokens = [t for t in bd_f.vocab_array
+                       if t not in ("<S>", "</S>")]
+    dl = PuncDataLoader(config, char_f, punc_tokens)
+    model = PuncTransformer(PuncConfig.from_user_config(config),
+                            char_f.num_classes, dl.num_punc_classes)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.ones((1, 8), jnp.int32))
+    state = ASRTrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        tx=make_optimizer(config.section("optimizer_config").data))
+    return char_f, dl, model, state
+
+
 def build_featurizers(config: UserConfig
                       ) -> Tuple[TextFeaturizer, TextFeaturizer, dict,
                                  Optional[PinyinConverter], bool]:

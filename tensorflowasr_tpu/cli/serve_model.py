@@ -61,35 +61,17 @@ def main(argv=None) -> int:
 
     vad_engine = None
     if args.vad_data_config and args.vad_model_config:
-        from tensorflowasr_tpu.models.vad import OfflineVAD, OnlineVAD
+        from tensorflowasr_tpu.cli.common import (
+            build_vad_model, restore_or_warn)
         from tensorflowasr_tpu.utils.config import UserConfig
 
         vcfg = UserConfig(args.vad_data_config, args.vad_model_config)
-        vsc = vcfg["speech_config"] or {}
-        vmc = vcfg["model_config"] or {}
-        cls = (OnlineVAD if (vmc["name"] or "CNN_Online_VAD")
-               == "CNN_Online_VAD" else OfflineVAD)
-        vad_model = cls(dmodel=vmc["dmodel"] or 32,
-                        frame_input=vsc["frame_input"] or 80)
-        vvars = vad_model.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, 10, vsc["frame_input"] or 80), jnp.float32))
-        # restore VAD weights when a checkpoint dir exists
-        from tensorflowasr_tpu.train.checkpoint import CheckpointManager
-        import os
-        vdir = (vcfg["running_config"] or {})["outdir"]
-        if vdir and os.path.isdir(os.path.join(vdir, "checkpoints")):
-            from tensorflowasr_tpu.train.state import (
-                ASRTrainState, make_optimizer)
-            vs = ASRTrainState.create(
-                apply_fn=vad_model.apply, params=vvars["params"],
-                tx=make_optimizer({}))
-            mgr = CheckpointManager(os.path.join(vdir, "checkpoints"))
-            restored = mgr.restore_latest(vs)
-            if restored is not None:
-                vvars = {"params": restored.params}
-        vad_engine = VADEngine(vad_model, vvars,
-                               frame_input=vsc["frame_input"] or 80)
+        vad_model, vstate = build_vad_model(vcfg)
+        vstate = restore_or_warn(
+            vstate, vcfg.section("running_config")["outdir"], "VAD")
+        vad_engine = VADEngine(
+            vad_model, {"params": vstate.params},
+            frame_input=vcfg.section("speech_config")["frame_input"] or 80)
 
     ops = build_asr_ops(asr_engine, vad_engine)
 

@@ -71,16 +71,19 @@ def main(argv=None) -> int:
     session.feed(padded[:cs])          # includes compile
     compile_s = time.perf_counter() - t0
     session.reset()
-    t0 = time.perf_counter()
+    chunk_ms = []
     for i in range(n_chunks):
-        out = session.feed(padded[i * cs:(i + 1) * cs])
+        t0 = time.perf_counter()
+        session.feed(padded[i * cs:(i + 1) * cs])
+        chunk_ms.append((time.perf_counter() - t0) * 1000)
     out = session.flush()
-    dt = time.perf_counter() - t0
+    dt = sum(chunk_ms) / 1000
     audio = len(wav) / cfg.sample_rate
     print("stream  phones:", " ".join(out.get("phones", [])))
     print("stream  chars :", out.get("text", ""))
     print(f"audio {audio:.2f}s stream {dt * 1000:.0f}ms "
-          f"RTF {dt / max(audio, 1e-9):.4f} "
+          f"RTF {dt / max(audio, 1e-9):.4f} per-chunk "
+          f"mean {np.mean(chunk_ms):.1f}ms max {np.max(chunk_ms):.1f}ms "
           f"(first chunk incl compile {compile_s:.1f}s)")
     return 0
 

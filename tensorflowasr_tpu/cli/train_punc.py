@@ -1,15 +1,21 @@
 """Punctuation-model training CLI — parity with the reference
-train_punc.py (BERT distillation optional via precomputed features)."""
+train_punc.py (BERT distillation optional via precomputed features;
+orbax checkpoints under running_config.outdir)."""
 
 from __future__ import annotations
 
 import logging
+import os
 import sys
 
 import jax
 import jax.numpy as jnp
 
-from tensorflowasr_tpu.cli.common import config_parser, load_config
+from tensorflowasr_tpu.cli.common import (
+    build_punc_model,
+    config_parser,
+    load_config,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -21,39 +27,30 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     config = load_config(args)
 
-    from tensorflowasr_tpu.data.punc_dataloader import PuncDataLoader
-    from tensorflowasr_tpu.models.punc import PuncConfig, PuncTransformer
     from tensorflowasr_tpu.train.punc_trainer import (
         make_punc_eval_step,
         make_punc_train_step,
     )
-    from tensorflowasr_tpu.train.state import ASRTrainState, make_optimizer
-    from tensorflowasr_tpu.utils.text import TextFeaturizer
 
-    char_f = TextFeaturizer(dict((config["punc_vocab"] or {}).items()))
-    bd_vocab_path = (config["punc_biaodian"] or {})["vocabulary"]
-    punc_tokens = []
-    if bd_vocab_path:
-        bd_f = TextFeaturizer({"vocabulary": bd_vocab_path,
-                               "blank_at_zero": True})
-        punc_tokens = [t for t in bd_f.vocab_array
-                       if t not in ("<S>", "</S>")]
-    dl = PuncDataLoader(config, char_f, punc_tokens,
-                        bert_feature_dir=args.bert_feature_dir)
-
-    model = PuncTransformer(PuncConfig.from_user_config(config),
-                            char_f.num_classes, dl.num_punc_classes)
-    batch = dl.generate(train=True)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.asarray(batch["ids"]))
-    state = ASRTrainState.create(
-        apply_fn=model.apply, params=variables["params"],
-        tx=make_optimizer(config["optimizer_config"]))
-    train_step = make_punc_train_step(model)
+    _, dl, model, state = build_punc_model(config)
+    dl.bert_feature_dir = args.bert_feature_dir
+    train_step = make_punc_train_step(model, donate=False)
     eval_step = make_punc_eval_step(model)
 
-    rc = config["running_config"] or {}
+    rc = config.section("running_config")
+    ckpt_mgr = None
+    if rc["outdir"]:
+        from tensorflowasr_tpu.train.checkpoint import CheckpointManager
+
+        ckpt_mgr = CheckpointManager(os.path.join(rc["outdir"],
+                                                  "checkpoints"))
+        restored = ckpt_mgr.restore_latest(state)
+        if restored is not None:
+            state = restored
+            logger.info("resumed from step %d", int(state.step))
+
     log_interval = rc["log_interval_steps"] or 100
+    save_interval = rc["save_interval_steps"] or 500
     key = jax.random.PRNGKey(0)
     for step in range(1, args.total_steps + 1):
         b = {k: jnp.asarray(v) for k, v in dl.generate(True).items()}
@@ -65,6 +62,10 @@ def main(argv=None) -> int:
             logger.info("step %d train %s eval %s", step,
                         {k: round(float(v), 4) for k, v in metrics.items()},
                         {k: round(float(v), 4) for k, v in em.items()})
+        if ckpt_mgr is not None and step % save_interval == 0:
+            ckpt_mgr.save(int(state.step), state)
+    if ckpt_mgr is not None:
+        ckpt_mgr.save(int(state.step), state)
     return 0
 
 

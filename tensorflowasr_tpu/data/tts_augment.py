@@ -51,10 +51,16 @@ class TTSSynthesizer:
         self.n_speakers = n_speakers
         self.rng = np.random.default_rng(0)
 
+    def spoken_text(self, text: str) -> str:
+        """The string actually synthesized: normalized + vocab-filtered.
+        THIS is the transcript that must pair with the audio."""
+        return "".join(c for c in normalize_text(text)
+                       if c in self.token_to_id)
+
     def synthesize(self, text: str,
                    speaker: Optional[int] = None) -> np.ndarray:
-        text = normalize_text(text)
-        ids = [self.token_to_id[c] for c in text if c in self.token_to_id]
+        spoken = self.spoken_text(text)
+        ids = [self.token_to_id[c] for c in spoken]
         if not ids:
             raise ValueError(f"no synthesizable tokens in {text!r}")
         spk = (self.rng.integers(0, self.n_speakers)
@@ -102,6 +108,9 @@ def synthesize_corpus(tts: TTSSynthesizer, texts: Sequence[str],
     os.makedirs(outdir, exist_ok=True)
     lines = []
     for i, text in enumerate(texts):
+        # transcript = what was actually spoken (normalized + filtered),
+        # NOT the raw input — digits etc. are synthesized as hanzi
+        spoken = tts.spoken_text(text)
         for k in range(per_text_speakers):
             try:
                 wav = tts.synthesize(text)
@@ -109,7 +118,7 @@ def synthesize_corpus(tts: TTSSynthesizer, texts: Sequence[str],
                 continue
             path = os.path.join(outdir, f"tts_{i:06d}_{k}.wav")
             write_wav(path, wav, tts.sample_rate)
-            lines.append(f"{path}\t{text}")
+            lines.append(f"{path}\t{spoken}")
     with open(list_path, "w", encoding="utf-8") as f:
         f.write("\n".join(lines) + ("\n" if lines else ""))
     return lines

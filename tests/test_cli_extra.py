@@ -15,8 +15,12 @@ def _sine(freq, seconds, sr, amp=0.5):
     return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
 
 
-def test_eval_vad_cli(tmp_path, capsys):
-    from tensorflowasr_tpu.cli.eval_vad import main
+def test_train_then_eval_vad_cli(tmp_path, capsys):
+    """train_vad saves an orbax checkpoint; eval_vad restores it."""
+    import os
+
+    from tensorflowasr_tpu.cli.eval_vad import main as eval_main
+    from tensorflowasr_tpu.cli.train_vad import main as train_main
 
     sr = 8000
     paths = []
@@ -30,18 +34,28 @@ def test_eval_vad_cli(tmp_path, capsys):
                           "max_frames": 8000, "voice_thread": 0.4},
         "running_config": {"train_list": str(tmp_path / "vad.list"),
                            "eval_list": str(tmp_path / "vad.list"),
-                           "batch_size": 2},
+                           "batch_size": 2, "log_interval_steps": 2,
+                           "save_interval_steps": 2,
+                           "outdir": str(tmp_path / "vlogs")},
         "augments_config": None,
     }
     model_cfg = {"model_config": {"name": "CNN_Online_VAD", "dmodel": 8}}
     dp, mp = tmp_path / "d.yml", tmp_path / "m.yml"
     dp.write_text(yaml.dump(data_cfg))
     mp.write_text(yaml.dump(model_cfg))
-    rc = main(["--data_config", str(dp), "--model_config", str(mp),
-               "--max_batches", "1", "--compute_dtype", "float32"])
+    rc = train_main(["--data_config", str(dp), "--model_config", str(mp),
+                     "--total_steps", "2", "--compute_dtype", "float32"])
     assert rc == 0
-    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert os.listdir(tmp_path / "vlogs" / "checkpoints")
+
+    rc = eval_main(["--data_config", str(dp), "--model_config", str(mp),
+                    "--max_batches", "1", "--compute_dtype", "float32"])
+    assert rc == 0
+    captured = capsys.readouterr()
+    out = json.loads(captured.out.strip().splitlines()[-1])
     assert "f1" in out and "acc" in out
+    # restored, not random init: no warning on stderr
+    assert "no VAD checkpoint" not in captured.err
 
 
 def test_eval_punc_cli(tmp_path, capsys):
