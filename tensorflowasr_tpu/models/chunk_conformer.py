@@ -858,5 +858,4 @@ class ChunkConformer(nn.Module):
         return phone_ids, char_ids, prov_ids, n_final, out_caches
 
 
-def count_params(params) -> int:
-    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+from tensorflowasr_tpu.models.conformer import count_params  # noqa: E402,F401

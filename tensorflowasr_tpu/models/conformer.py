@@ -95,8 +95,9 @@ class ConformerConfig:
     def from_user_config(cls, config) -> "ConformerConfig":
         mc = config["model_config"] or {}
         sc = config["speech_config"] or {}
+
         def g(d, k, default):
-            v = d[k] if d is not None else None
+            v = d.get(k) if hasattr(d, "get") else None
             return default if v is None else v
         return cls(
             dmodel=g(mc, "dmodel", 144),
@@ -349,4 +350,6 @@ class ConformerCTC(nn.Module):
 
 
 def count_params(params) -> int:
+    """Total parameter count of a pytree (canonical definition; re-exported
+    by models.chunk_conformer for backward compatibility)."""
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

@@ -42,12 +42,10 @@ from flax import linen as nn
 # Host-side initialization: Gabor params from mel filters
 # ---------------------------------------------------------------------------
 
-def _hz_to_mel_htk(f):
-    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
-
-
-def _mel_to_hz_htk(m):
-    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+from tensorflowasr_tpu.ops.frontend import (  # noqa: E402
+    _hz_to_mel_htk,
+    _mel_to_hz_htk,
+)
 
 
 def linear_to_mel_weight_matrix(num_mel_bins: int, num_spectrogram_bins: int,
@@ -211,8 +209,11 @@ class Leaf(nn.Module):
         if wav.ndim == 2:
             wav = wav[:, :, None]                        # [B, T, 1]
         wav = wav.astype(jnp.float32)
-        min_freq = 30.0 if self.min_freq is None else self.min_freq
-        max_freq = (3900.0 * (self.sample_rate / 8000.0)
+        # reference scaling (conformer_blocks.py:316-317): both edges scale
+        # with integer sr // 8000 (60 .. 7800 Hz at 16 kHz)
+        min_freq = (30.0 * (self.sample_rate // 8000)
+                    if self.min_freq is None else self.min_freq)
+        max_freq = (3900.0 * (self.sample_rate // 8000)
                     if self.max_freq is None else self.max_freq)
         ksize = self.kernel_size
 

@@ -53,12 +53,12 @@ class ResidualStack(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         pad = (self.kernel_size - 1) // 2 * self.dilation
-        y = nn.leaky_relu(x)
+        y = nn.leaky_relu(x, negative_slope=0.3)
         y = jnp.pad(y, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
         y = nn.Conv(self.filters, (self.kernel_size,),
                     kernel_dilation=(self.dilation,), padding="VALID",
                     dtype=self.dtype, name="conv")(y)
-        y = nn.leaky_relu(y)
+        y = nn.leaky_relu(y, negative_slope=0.3)
         y = nn.Conv(self.filters, (1,), dtype=self.dtype, name="pw")(y)
         shortcut = nn.Conv(self.filters, (1,), dtype=self.dtype,
                            name="shortcut")(x)
@@ -84,7 +84,7 @@ class WavePickModel(nn.Module):
                     feature_group_count=x.shape[-1], padding="SAME",
                     dtype=self.dtype, name="sep_dw")(x)
         x = nn.Conv(32, (1,), dtype=self.dtype, name="sep_pw")(x)
-        x = nn.leaky_relu(x)
+        x = nn.leaky_relu(x, negative_slope=0.3)
         for i in range(1, len(scales)):
             f = min(32 * (i + 1), self.dout)
             x = nn.Conv(f, (3,), strides=(scales[i],), padding="SAME",

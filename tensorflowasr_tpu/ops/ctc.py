@@ -116,6 +116,18 @@ def ctc_loss(logits: jnp.ndarray,
     return loss
 
 
+def compact_kept(ids: jnp.ndarray, keep: jnp.ndarray, pad_id: int = 0
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Left-justify the ``keep``-masked entries of each row (stable
+    argsort compaction — static shapes, fully on-device).
+    Returns (compacted [B, T] padded with ``pad_id``, counts [B])."""
+    order = jnp.argsort(~keep, axis=1, stable=True)               # kept first
+    gathered = jnp.take_along_axis(ids, order, axis=1)
+    kept_sorted = jnp.take_along_axis(keep, order, axis=1)
+    out = jnp.where(kept_sorted, gathered, pad_id)
+    return out, keep.sum(axis=1).astype(jnp.int32)
+
+
 def collapse_and_remove_blank(ids: jnp.ndarray,
                               lengths: jnp.ndarray,
                               blank_id: int,
@@ -127,9 +139,7 @@ def collapse_and_remove_blank(ids: jnp.ndarray,
     Returns (decoded [B, T] padded with ``pad_id``, decoded_lengths [B]).
 
     Vectorized replacement for the reference's ``tf.keras.backend.ctc_decode``
-    greedy path and ``merge_repeated`` (utils/tools.py:146-169): a stable
-    argsort on the drop mask compacts kept ids to the front — no dynamic
-    shapes, runs entirely on-device.
+    greedy path (asr/trainer/ctc_runners.py:97).
     """
     b, t = ids.shape
     tpos = jnp.arange(t)[None, :]
@@ -137,11 +147,7 @@ def collapse_and_remove_blank(ids: jnp.ndarray,
     prev = jnp.concatenate(
         [jnp.full((b, 1), -1, ids.dtype), ids[:, :-1]], axis=1)
     keep = valid & (ids != blank_id) & (ids != prev)
-    order = jnp.argsort(~keep, axis=1, stable=True)               # kept first
-    gathered = jnp.take_along_axis(ids, order, axis=1)
-    kept_sorted = jnp.take_along_axis(keep, order, axis=1)
-    out = jnp.where(kept_sorted, gathered, pad_id)
-    return out, keep.sum(axis=1).astype(jnp.int32)
+    return compact_kept(ids, keep, pad_id)
 
 
 @functools.partial(jax.jit, static_argnames=("blank_id", "pad_id"))
@@ -168,8 +174,4 @@ def merge_repeated(ids: jnp.ndarray, lengths: jnp.ndarray,
     prev = jnp.concatenate(
         [jnp.full((b, 1), -1, ids.dtype), ids[:, :-1]], axis=1)
     keep = valid & (ids != prev)
-    order = jnp.argsort(~keep, axis=1, stable=True)
-    gathered = jnp.take_along_axis(ids, order, axis=1)
-    kept_sorted = jnp.take_along_axis(keep, order, axis=1)
-    out = jnp.where(kept_sorted, gathered, pad_id)
-    return out, keep.sum(axis=1).astype(jnp.int32)
+    return compact_kept(ids, keep, pad_id)
