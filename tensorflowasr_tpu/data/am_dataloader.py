@@ -85,8 +85,9 @@ class AMDataLoader:
         self.pinyin = pinyin
         self.pinyin2phone = pinyin2phone or {}
         self.transcripts_are_pinyin = transcripts_are_pinyin
-        self.batch = int(rc.get("batch_size", 16) if hasattr(rc, "get")
-                         else (rc["batch_size"] or 16))
+        from tensorflowasr_tpu.train.base import cfg_get
+
+        self.batch = int(cfg_get(rc, "batch_size", 16))
         self.only_chinese = bool(sc.get("only_chinese", False))
         self.wav_max_duration = float(sc.get("wav_max_duration", 16))
         self.streaming = bool(sc.get("streaming", False))

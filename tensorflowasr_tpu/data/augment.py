@@ -100,9 +100,11 @@ def phase_vocoder_stretch(wav: np.ndarray, rate: float,
 
 def pitch_shift(wav: np.ndarray, sr: int, n_steps: float) -> np.ndarray:
     """Pitch shift by ``n_steps`` semitones, preserving duration
-    (librosa.effects.pitch_shift semantics)."""
+    (librosa.effects.pitch_shift semantics: time-stretch by
+    rate = 2^(-n/12), then resample sr/rate -> sr)."""
     rate = 2.0 ** (-n_steps / 12.0)
-    stretched = phase_vocoder_stretch(wav, 1.0 / rate)
+    # phase_vocoder_stretch(wav, rate) -> ~len/rate samples
+    stretched = phase_vocoder_stretch(wav, rate)
     shifted = resample(stretched, int(sr / rate), sr)
     if len(shifted) < len(wav):
         shifted = np.pad(shifted, (0, len(wav) - len(shifted)))

@@ -33,22 +33,25 @@ class PuncDataLoader:
     def __init__(self, config, char_featurizer: TextFeaturizer,
                  punc_tokens: List[str], max_len: int = 64,
                  bert_feature_dir: Optional[str] = None, seed: int = 0):
+        from tensorflowasr_tpu.train.base import cfg_get
+
         rc = config["running_config"] or {}
         self.char_featurizer = char_featurizer
         self.punc_tokens = list(punc_tokens)
         self.punc_to_label = {p: i + 2 for i, p in enumerate(self.punc_tokens)}
         self.num_punc_classes = len(self.punc_tokens) + 2
         self.max_len = max_len
-        self.batch = int(rc["batch_size"] or 32)
+        self.batch = int(cfg_get(rc, "batch_size", 32))
         self.bert_feature_dir = bert_feature_dir
         self.rng = np.random.default_rng(seed)
-        self.state_path = os.path.join(rc["outdir"] or ".", "dg_state.npz") \
-            if rc["outdir"] else None
+        outdir = cfg_get(rc, "outdir")
+        self.state_path = os.path.join(outdir, "dg_state.npz") \
+            if outdir else None
 
-        self.train_list = self._read(rc["train_list"]) if rc["train_list"] \
-            else []
-        self.test_list = self._read(rc["eval_list"]) if rc["eval_list"] \
-            else []
+        train_list = cfg_get(rc, "train_list")
+        eval_list = cfg_get(rc, "eval_list")
+        self.train_list = self._read(train_list) if train_list else []
+        self.test_list = self._read(eval_list) if eval_list else []
         self.train_offset = 0
         self.test_offset = 0
         self.epochs = 0

@@ -51,23 +51,27 @@ def effects_split(y: np.ndarray, top_db: float = 20.0,
 
 class VADDataLoader:
     def __init__(self, config, seed: int = 0):
+        from tensorflowasr_tpu.train.base import cfg_get
+
         sc = config["speech_config"] or {}
         rc = config["running_config"] or {}
         self.speech_config = sc
-        self.sample_rate = int(sc.get("sample_rate", 8000))
-        self.frame_input = int(sc.get("frame_input", 80))
-        self.max_frames = int(sc.get("max_frames", 80 * 80))
-        self.voice_thread = float(sc.get("voice_thread", 0.4))
-        self.batch = int(rc["batch_size"] or 8)
+        self.sample_rate = int(cfg_get(sc, "sample_rate", 8000))
+        self.frame_input = int(cfg_get(sc, "frame_input", 80))
+        self.max_frames = int(cfg_get(sc, "max_frames", 80 * 80))
+        self.voice_thread = float(cfg_get(sc, "voice_thread", 0.4))
+        self.batch = int(cfg_get(rc, "batch_size", 8))
         aug_cfg = config["augments_config"]
         self.augment = Augmentation(aug_cfg if aug_cfg else {})
         self.rng = np.random.default_rng(seed)
         self.epochs = 0
 
-        self.train_list: List[str] = self._read(rc["train_list"]) \
-            if rc["train_list"] else []
-        self.test_list: List[str] = self._read(rc["eval_list"]) \
-            if rc["eval_list"] else []
+        train_list = cfg_get(rc, "train_list")
+        eval_list = cfg_get(rc, "eval_list")
+        self.train_list: List[str] = self._read(train_list) \
+            if train_list else []
+        self.test_list: List[str] = self._read(eval_list) \
+            if eval_list else []
         self.train_offset = 0
         self.test_offset = 0
 
@@ -127,11 +131,14 @@ class VADDataLoader:
             sl = slice(start, start + maxlen)
             wav, wav_target, label = wav[sl], wav_target[sl], label[sl]
         else:
-            lead = self.rng.random(8000).astype(np.float32) * 0.001
+            # clamp the noise lead so short max_frames configs still keep
+            # the speech (an 8000-sample lead would otherwise crowd it out)
+            lead_len = min(8000, max(0, maxlen - len(wav)))
+            lead = self.rng.random(lead_len).astype(np.float32) * 0.001
             tail = self.rng.random(maxlen).astype(np.float32) * 0.001
             wav = np.hstack((lead, wav, tail))[:maxlen]
             wav_target = np.hstack((lead, wav_target, tail))[:maxlen]
-            label = np.hstack((np.zeros(8000, np.float32), label,
+            label = np.hstack((np.zeros(lead_len, np.float32), label,
                                np.zeros(maxlen, np.float32)))[:maxlen]
         f = self.frame_input
         x = wav.reshape(-1, f)

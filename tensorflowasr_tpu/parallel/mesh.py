@@ -61,7 +61,6 @@ def batch_spec(mesh: Mesh) -> P:
 
 def shard_batch(batch, mesh: Mesh):
     """Device-put a pytree of [B, ...] arrays sharded over the batch axis."""
-    sharding = NamedSharding(mesh, batch_spec(mesh))
 
     def put(x):
         spec = P(tuple(mesh.axis_names)) if np.ndim(x) >= 1 else P()

@@ -159,9 +159,16 @@ class PuncEngine:
         logits = np.asarray(self._infer(self.variables, jnp.asarray(buf)))[0]
         probs = np.exp(logits - logits.max(-1, keepdims=True))
         probs /= probs.sum(-1, keepdims=True)
+        # every input char is emitted; vocab-OOV chars (digits, latin,
+        # rare hanzi) just don't feed the model and never get punctuation
+        # inserted after them mid-word
         out: List[str] = []
-        for pos, ch in enumerate(known, start=1):
+        pos = 0                                    # model position of the
+        for ch in chars:                           # NEXT known char
             out.append(ch)
+            if not f.has(ch):
+                continue
+            pos += 1
             if pos >= self.max_len:
                 continue
             best = int(np.argmax(probs[pos]))

@@ -54,13 +54,19 @@ def read_tensor(conn: socket.socket) -> np.ndarray:
     return np.frombuffer(data, dtype=dtype).reshape(dims)
 
 
-def write_tensor(conn: socket.socket, arr: np.ndarray) -> None:
+def encode_tensor(arr: np.ndarray) -> bytes:
     arr = np.ascontiguousarray(arr)
+    if arr.dtype not in _DTYPE_CODES:
+        # normalize common widths so ops may return int64/float64
+        arr = arr.astype(np.int32 if np.issubdtype(arr.dtype, np.integer)
+                         else np.float32)
     code = _DTYPE_CODES[arr.dtype]
-    conn.sendall(struct.pack("<B", code))
-    conn.sendall(struct.pack("<I", arr.ndim))
-    conn.sendall(struct.pack(f"<{arr.ndim}I", *arr.shape))
-    conn.sendall(arr.tobytes())
+    return (struct.pack("<B", code) + struct.pack("<I", arr.ndim)
+            + struct.pack(f"<{arr.ndim}I", *arr.shape) + arr.tobytes())
+
+
+def write_tensor(conn: socket.socket, arr: np.ndarray) -> None:
+    conn.sendall(encode_tensor(np.asarray(arr)))
 
 
 class ModelServer:
@@ -172,17 +178,18 @@ class ModelServer:
                     out = self._execute(fn, tensors)
                     if isinstance(out, np.ndarray):
                         out = [out]
-                    conn.sendall(struct.pack("<I", 0))
-                    conn.sendall(struct.pack("<I", len(out)))
-                    for t in out:
-                        write_tensor(conn, np.asarray(t))
+                    # serialize FULLY before sending: a failure mid-response
+                    # would otherwise desynchronize the wire protocol
+                    payload = b"".join(encode_tensor(np.asarray(t))
+                                       for t in out)
+                    conn.sendall(struct.pack("<II", 0, len(out)) + payload)
                 except Exception as e:  # noqa: BLE001 - report to client
                     logger.exception("op %s failed", op)
                     msg = str(e).encode("utf-8")[:1000]
-                    conn.sendall(struct.pack("<I", 1))
-                    conn.sendall(struct.pack("<I", 1))
-                    write_tensor(conn, np.zeros((0,), np.int32))
-                    conn.sendall(struct.pack("<I", len(msg)) + msg)
+                    conn.sendall(
+                        struct.pack("<II", 1, 1)
+                        + encode_tensor(np.zeros((0,), np.int32))
+                        + struct.pack("<I", len(msg)) + msg)
         finally:
             conn.close()
 
@@ -221,15 +228,17 @@ def build_asr_ops(asr_engine, vad_engine=None) -> Dict[str, Callable]:
     if vad_engine is not None:
         ops["vad"] = lambda frames: vad_engine.inference(frames)
     else:
-        # energy fallback (SilenceDetector semantics): positive logit for
-        # frames whose SPL clears ~20 dB — keeps the serving session
-        # usable before a VAD model is trained
+        # energy fallback: positive logit for frames whose SPL clears the
+        # SilenceDetector threshold — keeps the serving session usable
+        # before a VAD model is trained
+        from tensorflowasr_tpu.serve.vad_machine import SilenceDetector
+
+        sd = SilenceDetector()
+
         def energy_vad(frames: np.ndarray) -> np.ndarray:
             f = frames.reshape(-1, frames.shape[-1])
-            spl = 20.0 * np.log(
-                np.sqrt(np.sum((f * 32768.0) ** 2, axis=-1))
-                / (f.shape[-1] + 1e-12) + 1e-12)
-            return (spl - 20.0).astype(np.float32)
+            spl = np.asarray([sd.sound_pressure_level(row) for row in f])
+            return (spl - sd.threshold).astype(np.float32)
 
         ops["vad"] = energy_vad
     return ops

@@ -41,6 +41,7 @@ from tensorflowasr_tpu.models.conformer import (
 )
 from tensorflowasr_tpu.ops.ctc import ctc_greedy_decode, ctc_loss
 from tensorflowasr_tpu.parallel import mesh as mesh_lib
+from tensorflowasr_tpu.train.base import TrainerBase, cfg_get
 from tensorflowasr_tpu.train.state import ASRTrainState, make_optimizer
 
 logger = logging.getLogger(__name__)
@@ -209,9 +210,9 @@ def make_beam_predict_step(model: ConformerCTC, blank_id: int,
     return jax.jit(step)
 
 
-class CTCTrainer:
+class CTCTrainer(TrainerBase):
     """Config-driven trainer: builds the model, optimizer, mesh, and the
-    jitted steps; runs the fit loop with log/eval/save intervals
+    jitted steps; the fit/eval/checkpoint loop lives in TrainerBase
     (reference base_runners.py:143-227 semantics, orbax checkpoints)."""
 
     def __init__(self, config, num_phone_classes: int,
@@ -232,9 +233,8 @@ class CTCTrainer:
                 "(blank_at_zero: False — parity with the shipped configs)")
         self.blank_id = blank_id
         if mesh is None:
-            batch = (rc.get("batch_size") if hasattr(rc, "get")
-                     else rc["batch_size"]) or 16
-            mesh = mesh_lib.make_data_mesh(int(batch))
+            mesh = mesh_lib.make_data_mesh(
+                int(cfg_get(rc, "batch_size", 16)))
         self.mesh = mesh
         self.tx = make_optimizer(config["optimizer_config"],
                                  dmodel=self.model_cfg.dmodel,
@@ -242,10 +242,11 @@ class CTCTrainer:
         self.train_step = make_train_step(self.model, self.tx, blank_id)
         self.eval_step = make_eval_step(self.model, blank_id)
         self.predict_step = make_predict_step(self.model, blank_id)
-        self.log_interval = rc["log_interval_steps"] or 100
-        self.save_interval = rc["save_interval_steps"] or 500
-        self.eval_interval = rc["eval_interval_steps"] or 500
-        self.outdir = rc["outdir"] or "./asr-logs"
+        self.log_interval = cfg_get(rc, "log_interval_steps", 100)
+        self.save_interval = cfg_get(rc, "save_interval_steps", 500)
+        self.eval_interval = cfg_get(rc, "eval_interval_steps", 500)
+        self.outdir = cfg_get(rc, "outdir", "./asr-logs")
+        self.sample_rate = self.model_cfg.sample_rate
         self.state: Optional[ASRTrainState] = None
         self._ckpt_mgr = None
 
@@ -265,73 +266,4 @@ class CTCTrainer:
         logger.info("model params: %s", f"{n:,}")
         return self.state
 
-    @property
-    def checkpoint_manager(self):
-        if self._ckpt_mgr is None:
-            from tensorflowasr_tpu.train.checkpoint import CheckpointManager
-
-            self._ckpt_mgr = CheckpointManager(
-                os.path.join(self.outdir, "checkpoints"))
-        return self._ckpt_mgr
-
-    def save(self):
-        self.checkpoint_manager.save(int(self.state.step), self.state)
-
-    def restore(self) -> bool:
-        restored = self.checkpoint_manager.restore_latest(self.state)
-        if restored is not None:
-            self.state = restored
-            return True
-        return False
-
-    # -- loops ------------------------------------------------------------
-    def fit(self, train_iter, eval_iter=None, total_steps: int = 1000,
-            rng_seed: int = 0, metrics_path: Optional[str] = None):
-        assert self.state is not None, "call init_state first"
-        rng = jax.random.PRNGKey(rng_seed)
-        os.makedirs(self.outdir, exist_ok=True)
-        metrics_path = metrics_path or os.path.join(self.outdir,
-                                                    "metrics.jsonl")
-        from tensorflowasr_tpu.utils.telemetry import ThroughputMeter
-
-        t0 = time.time()
-        accum = []
-        meter = ThroughputMeter()
-        sr = self.model_cfg.sample_rate
-        with open(metrics_path, "a") as mf:
-            for _ in range(total_steps):
-                batch = next(train_iter)
-                batch = mesh_lib.shard_batch(batch, self.mesh)
-                self.state, metrics = self.train_step(self.state, batch, rng)
-                b, t = batch["wav"].shape
-                meter.update(b, b * t / sr)
-                accum.append(metrics)
-                step = int(self.state.step)
-                if step % self.log_interval == 0:
-                    jax.block_until_ready(metrics["train_loss"])
-                    m = {k: float(np.mean([float(a[k]) for a in accum]))
-                         for k in accum[0]}
-                    m.update(step=step, wall_s=time.time() - t0,
-                             **meter.rates())
-                    logger.info("train %s", m)
-                    mf.write(json.dumps(m) + "\n")
-                    mf.flush()
-                    accum = []
-                if eval_iter is not None and step % self.eval_interval == 0:
-                    em = self.evaluate(eval_iter)
-                    em.update(step=step, split="eval")
-                    logger.info("eval %s", em)
-                    mf.write(json.dumps(em) + "\n")
-                    mf.flush()
-                if step % self.save_interval == 0:
-                    self.save()
-        return self.state
-
-    def evaluate(self, eval_iter, max_batches: int = 50) -> dict:
-        out = []
-        for i, batch in enumerate(eval_iter):
-            if i >= max_batches:
-                break
-            batch = mesh_lib.shard_batch(batch, self.mesh)
-            out.append(self.eval_step(self.state, batch))
-        return {k: float(np.mean([float(m[k]) for m in out])) for k in out[0]}
+    # fit / evaluate / checkpoint machinery inherited from TrainerBase

@@ -1,0 +1,126 @@
+"""Shared trainer machinery: checkpointing + fit/eval loops.
+
+One implementation of what the reference copies three times
+(asr/trainer/base_runners.py and its byte-identical vad/punc clones):
+interval-driven fit loop with metrics.jsonl logging, throughput metering,
+orbax full-state checkpoints, and a guarded eval pass. Subclasses provide
+``train_step`` / ``eval_step`` / ``mesh`` / ``outdir`` and the interval
+attributes.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+from tensorflowasr_tpu.parallel import mesh as mesh_lib
+
+logger = logging.getLogger(__name__)
+
+
+def cfg_get(section, key: str, default=None):
+    """Read a config key from a UserConfig section OR a plain dict,
+    falling back to ``default`` when the key is absent or None."""
+    if section is None:
+        return default
+    v = section.get(key) if hasattr(section, "get") else None
+    return default if v is None else v
+
+
+class TrainerBase:
+    """Requires subclass attributes: state, mesh, outdir, train_step,
+    eval_step, log_interval, save_interval, eval_interval, and a
+    ``sample_rate`` for throughput accounting (0 disables it)."""
+
+    sample_rate: int = 0
+    _ckpt_mgr = None
+
+    @property
+    def checkpoint_manager(self):
+        if self._ckpt_mgr is None:
+            from tensorflowasr_tpu.train.checkpoint import CheckpointManager
+
+            self._ckpt_mgr = CheckpointManager(
+                os.path.join(self.outdir, "checkpoints"))
+        return self._ckpt_mgr
+
+    def save(self):
+        self.checkpoint_manager.save(int(self.state.step), self.state)
+
+    def restore(self) -> bool:
+        restored = self.checkpoint_manager.restore_latest(self.state)
+        if restored is not None:
+            self.state = restored
+            return True
+        return False
+
+    def _prepare_batch(self, batch):
+        import jax.numpy as jnp
+
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        return mesh_lib.shard_batch(batch, self.mesh)
+
+    def fit(self, train_iter: Iterator, eval_iter: Optional[Iterator] = None,
+            total_steps: int = 1000, rng_seed: int = 0,
+            metrics_path: Optional[str] = None):
+        from tensorflowasr_tpu.utils.telemetry import ThroughputMeter
+
+        assert self.state is not None, "call init_state first"
+        rng = jax.random.PRNGKey(rng_seed)
+        os.makedirs(self.outdir, exist_ok=True)
+        metrics_path = metrics_path or os.path.join(self.outdir,
+                                                    "metrics.jsonl")
+        t0 = time.time()
+        accum = []
+        meter = ThroughputMeter()
+        # host-side step counter: int(state.step) would sync the device
+        # every iteration and kill host/device overlap
+        step0 = int(self.state.step)
+        with open(metrics_path, "a") as mf:
+            for i in range(total_steps):
+                batch = self._prepare_batch(next(train_iter))
+                self.state, metrics = self.train_step(self.state, batch, rng)
+                if self.sample_rate and "wav" in batch:
+                    b, t = batch["wav"].shape
+                    meter.update(b, b * t / self.sample_rate)
+                accum.append(metrics)
+                step = step0 + i + 1
+                if step % self.log_interval == 0:
+                    jax.block_until_ready(metrics)
+                    m = {k: float(np.mean([float(a[k]) for a in accum]))
+                         for k in accum[0]}
+                    m.update(step=step, wall_s=time.time() - t0,
+                             **meter.rates())
+                    logger.info("train %s", m)
+                    mf.write(json.dumps(m) + "\n")
+                    mf.flush()
+                    accum = []
+                if eval_iter is not None and step % self.eval_interval == 0:
+                    em = self.evaluate(eval_iter)
+                    if em:
+                        em.update(step=step, split="eval")
+                        logger.info("eval %s", em)
+                        mf.write(json.dumps(em) + "\n")
+                        mf.flush()
+                if step % self.save_interval == 0:
+                    self.save()
+        return self.state
+
+    def evaluate(self, eval_iter, max_batches: int = 50) -> dict:
+        out = []
+        for i, batch in enumerate(eval_iter):
+            if i >= max_batches:
+                break
+            out.append(self.eval_step(self.state,
+                                      self._prepare_batch(batch)))
+        if not out:
+            logger.warning("evaluate: eval iterator yielded no batches")
+            return {}
+        return {k: float(np.mean([float(m[k]) for m in out]))
+                for k in out[0]}

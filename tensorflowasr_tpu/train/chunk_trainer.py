@@ -34,6 +34,7 @@ import optax
 
 from tensorflowasr_tpu.models.chunk_conformer import ChunkConformer
 from tensorflowasr_tpu.ops.ctc import ctc_greedy_decode, ctc_loss
+from tensorflowasr_tpu.train.base import TrainerBase, cfg_get
 from tensorflowasr_tpu.train.state import ASRTrainState
 
 
@@ -130,15 +131,13 @@ def make_chunk_eval_step(model: ChunkConformer, max_pick: int) -> Callable:
     return jax.jit(step)
 
 
-class ChunkTrainer:
-    """Config-driven ChunkConformer trainer mirroring CTCTrainer's fit
-    loop (mesh DP, orbax checkpoints, log/eval/save intervals)."""
+class ChunkTrainer(TrainerBase):
+    """Config-driven ChunkConformer trainer; the fit/eval/checkpoint loop
+    lives in TrainerBase (mesh DP, orbax checkpoints, intervals)."""
 
     def __init__(self, config, num_phone_classes: int,
                  num_char_classes: int, max_pick: int = 64, mesh=None,
                  compute_dtype: str = "float32"):
-        import os
-
         from tensorflowasr_tpu.models.chunk_conformer import (
             ChunkConformerConfig)
         from tensorflowasr_tpu.parallel import mesh as mesh_lib
@@ -155,29 +154,27 @@ class ChunkTrainer:
                                     num_char_classes)
         self.max_pick = max_pick
         if mesh is None:
-            get = rc.get if hasattr(rc, "get") else lambda k: rc[k]
-            mesh = mesh_lib.make_data_mesh(int(get("batch_size") or 16))
+            mesh = mesh_lib.make_data_mesh(
+                int(cfg_get(rc, "batch_size", 16)))
         self.mesh = mesh
         self.tx = make_optimizer(config["optimizer_config"])
         self.train_step = make_chunk_train_step(self.model, max_pick)
         self.eval_step = make_chunk_eval_step(self.model, max_pick)
         self.predict_step = make_chunk_predict_step(self.model, max_pick)
-        get = rc.get if hasattr(rc, "get") else lambda k, d=None: rc[k] or d
-        self.log_interval = get("log_interval_steps") or 100
-        self.save_interval = get("save_interval_steps") or 500
-        self.eval_interval = get("eval_interval_steps") or 500
-        self.outdir = get("outdir") or "./chunk-logs"
+        self.log_interval = cfg_get(rc, "log_interval_steps", 100)
+        self.save_interval = cfg_get(rc, "save_interval_steps", 500)
+        self.eval_interval = cfg_get(rc, "eval_interval_steps", 500)
+        self.outdir = cfg_get(rc, "outdir", "./chunk-logs")
+        self.sample_rate = self.model_cfg.sample_rate
         self.state = None
         self._ckpt_mgr = None
 
     def init_state(self, example_batch, seed: int = 0):
-        import jax as _jax
-
         from tensorflowasr_tpu.parallel import mesh as mesh_lib
         from tensorflowasr_tpu.train.state import ASRTrainState
 
         variables = self.model.init(
-            _jax.random.PRNGKey(seed),
+            jax.random.PRNGKey(seed),
             jnp.asarray(example_batch["wav"][:1]),
             jnp.asarray(example_batch["extra_phones"][:1]),
             self.max_pick, False, method=ChunkConformer.train_forward)
@@ -185,64 +182,6 @@ class ChunkTrainer:
             apply_fn=self.model.apply, params=variables["params"],
             tx=self.tx, batch_stats=variables.get("batch_stats"))
         self.state = mesh_lib.replicate(state, self.mesh)
-        return self.state
-
-    @property
-    def checkpoint_manager(self):
-        if self._ckpt_mgr is None:
-            import os
-
-            from tensorflowasr_tpu.train.checkpoint import CheckpointManager
-            self._ckpt_mgr = CheckpointManager(
-                os.path.join(self.outdir, "checkpoints"))
-        return self._ckpt_mgr
-
-    def save(self):
-        self.checkpoint_manager.save(int(self.state.step), self.state)
-
-    def restore(self) -> bool:
-        restored = self.checkpoint_manager.restore_latest(self.state)
-        if restored is not None:
-            self.state = restored
-            return True
-        return False
-
-    def fit(self, train_iter, eval_iter=None, total_steps: int = 1000,
-            rng_seed: int = 0):
-        import json
-        import logging
-        import os
-        import time
-
-        import numpy as np
-
-        from tensorflowasr_tpu.parallel import mesh as mesh_lib
-
-        logger = logging.getLogger(__name__)
-        assert self.state is not None, "call init_state first"
-        rng = jax.random.PRNGKey(rng_seed)
-        os.makedirs(self.outdir, exist_ok=True)
-        metrics_path = os.path.join(self.outdir, "metrics.jsonl")
-        t0 = time.time()
-        accum = []
-        with open(metrics_path, "a") as mf:
-            for _ in range(total_steps):
-                batch = next(train_iter)
-                batch = mesh_lib.shard_batch(
-                    {k: jnp.asarray(v) for k, v in batch.items()}, self.mesh)
-                self.state, metrics = self.train_step(self.state, batch, rng)
-                accum.append(metrics)
-                step = int(self.state.step)
-                if step % self.log_interval == 0:
-                    m = {k: float(np.mean([float(a[k]) for a in accum]))
-                         for k in accum[0]}
-                    m.update(step=step, wall_s=time.time() - t0)
-                    logger.info("train %s", m)
-                    mf.write(json.dumps(m) + "\n")
-                    mf.flush()
-                    accum = []
-                if step % self.save_interval == 0:
-                    self.save()
         return self.state
 
 

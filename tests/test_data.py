@@ -52,6 +52,12 @@ def test_pitch_shift_preserves_length_and_shifts_freq():
     spec = np.abs(np.fft.rfft(up[2000:10000] * np.hanning(8000)))
     peak_hz = np.argmax(spec) * sr / 8000
     assert 800 < peak_hz < 960, peak_hz      # ~880 Hz
+    # regression: the stretch rate was once inverted, silencing the tail
+    tail_rms = np.sqrt(np.mean(up[-4000:] ** 2))
+    assert tail_rms > 0.1, tail_rms
+    # non-integer semitones too (the empirically-confirmed bug case)
+    up5 = pitch_shift(wav, sr, 5.0)
+    assert np.sqrt(np.mean(up5[-4000:] ** 2)) > 0.1
 
 
 def test_mask_speed_hz_augmenters():

@@ -170,6 +170,37 @@ def test_stream_session_end_to_end(asr_engine, vad_engine):
     assert end["sentence_end_time"] >= end["sentence_begin_time"]
 
 
+def test_punc_engine_keeps_oov_chars():
+    from tensorflowasr_tpu.models.punc import PuncConfig, PuncTransformer
+    from tensorflowasr_tpu.serve.engines import PuncEngine
+
+    class Vocab:
+        tokens = ["<pad>", "<S>", "</S>", "a", "b", "c"]
+
+        def has(self, t):
+            return t in self.tokens
+
+        def extract(self, toks):
+            return [self.tokens.index(t) for t in toks]
+
+        def startid(self):
+            return 1
+
+        def endid(self):
+            return 2
+
+    cfg = PuncConfig(num_layers=1, d_model=16, embedding_dim=16,
+                     num_heads=2, dff=16, pe_input=32)
+    model = PuncTransformer(cfg, vocab_size=6, num_punc_classes=4)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.ones((1, 8), jnp.int32))
+    eng = PuncEngine(model, variables, Vocab(), ["，", "。"], max_len=16)
+    # '9' and 'Z' are OOV for the punc vocab but MUST survive in the output
+    out = eng.punc_recover(list("a9bZc"))
+    stripped = [c for c in out if c not in ("，", "。")]
+    assert stripped == list("a9bZc"), out
+
+
 def test_offline_session(asr_engine):
     class EnergyVAD:
         frame_input = 80
