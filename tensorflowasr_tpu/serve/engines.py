@@ -143,7 +143,9 @@ class PuncEngine:
         self.char_featurizer = char_featurizer
         self.punc_tokens = list(punc_tokens)
         self.threshold = threshold
-        self.max_len = max_len
+        # the PE table bounds usable sequence length
+        pe_cap = getattr(getattr(model, "cfg", None), "pe_input", max_len)
+        self.max_len = min(max_len, pe_cap)
         self._infer = jax.jit(
             lambda v, ids: model.apply(v, ids, training=False)[0])
 

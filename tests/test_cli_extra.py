@@ -90,6 +90,39 @@ def test_eval_punc_cli(tmp_path, capsys):
     assert "bd_acc" in out
 
 
+def test_test_punc_cli(tmp_path, capsys):
+    from tensorflowasr_tpu.cli.test_punc import main
+
+    (tmp_path / "chars.txt").write_text(
+        "\n".join(["<S>", "</S>"] + list("abcdef")), encoding="utf-8")
+    (tmp_path / "puncs.txt").write_text(
+        "\n".join(["<S>", "</S>", "，", "。"]), encoding="utf-8")
+    (tmp_path / "punc.list").write_text("ab，cd。\nabc。\n", encoding="utf-8")
+    cfg = {
+        "punc_vocab": {"vocabulary": str(tmp_path / "chars.txt"),
+                       "blank_at_zero": True},
+        "punc_biaodian": {"vocabulary": str(tmp_path / "puncs.txt"),
+                          "blank_at_zero": True},
+        "running_config": {"train_list": str(tmp_path / "punc.list"),
+                           "eval_list": str(tmp_path / "punc.list"),
+                           "batch_size": 2, "outdir": None},
+        "model_config": {"num_layers": 1, "d_model": 16,
+                         "enc_embedding_dim": 16, "num_heads": 2,
+                         "dff": 16, "pe_input": 32},
+    }
+    dp, mp = tmp_path / "d.yml", tmp_path / "m.yml"
+    dp.write_text(yaml.dump({k: v for k, v in cfg.items()
+                             if k != "model_config"}))
+    mp.write_text(yaml.dump({"model_config": cfg["model_config"]}))
+    rc = main(["--data_config", str(dp), "--model_config", str(mp),
+               "--text", "abcd", "--compute_dtype", "float32"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip()
+    # every input char survives (punctuation may or may not be inserted
+    # by the random-init model)
+    assert [c for c in out if c not in ("，", "。")] == list("abcd")
+
+
 def test_chunk_train_and_stream_cli(tmp_path, capsys):
     from tensorflowasr_tpu.cli.test_chunk_asr import main as chunk_main
     from tensorflowasr_tpu.cli.train_asr import main as train_main
