@@ -11,7 +11,15 @@ bool Session::Initial(const Options& opts) {
   opts_ = opts;
   if (!phones_.Load(opts.phone_vocab, /*blank_at_zero=*/false)) return false;
   if (!chars_.Load(opts.char_vocab, /*blank_at_zero=*/false)) return false;
-  return client_.Connect(opts.endpoint);
+  if (!client_.Connect(opts.endpoint)) return false;
+  // the server knows the model's chunk quantum; an unquantized local
+  // guess would lose the remainder of every chunk
+  std::vector<Tensor> out;
+  if (client_.Call("info", {}, &out) && !out.empty() &&
+      !out[0].i32.empty() && out[0].i32[0] > 0) {
+    opts_.chunk_samples = out[0].i32[0];
+  }
+  return true;
 }
 
 bool Session::VadVoiced() {
@@ -153,6 +161,7 @@ bool Session::DecodeUtterance() {
         best = c;
       }
     if (best == 0 || best == end_id) break;
+    if (best == chars_.Blank()) continue;  // never emit the CTC blank
     result_ += chars_.Token(best);
   }
   return true;

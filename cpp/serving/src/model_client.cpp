@@ -36,13 +36,26 @@ bool ModelClient::Connect(const std::string& endpoint) {
     return false;
   }
   std::string host = endpoint.substr(0, colon);
-  int port = std::stoi(endpoint.substr(colon + 1));
+  if (host == "localhost") host = "127.0.0.1";
+  int port = 0;
+  try {
+    port = std::stoi(endpoint.substr(colon + 1));
+  } catch (const std::exception&) {
+    error_ = "invalid port in endpoint: " + endpoint;
+    return false;
+  }
   fd_ = socket(AF_INET, SOCK_STREAM, 0);
   if (fd_ < 0) return false;
   sockaddr_in addr{};
   addr.sin_family = AF_INET;
   addr.sin_port = htons(static_cast<uint16_t>(port));
-  inet_pton(AF_INET, host.c_str(), &addr.sin_addr);
+  if (inet_pton(AF_INET, host.c_str(), &addr.sin_addr) != 1) {
+    error_ = "invalid IPv4 address: " + host +
+             " (hostnames are not resolved; use an IP)";
+    close(fd_);
+    fd_ = -1;
+    return false;
+  }
   if (connect(fd_, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) != 0) {
     error_ = "connect failed: " + endpoint;
     close(fd_);

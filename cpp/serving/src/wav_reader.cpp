@@ -49,6 +49,7 @@ bool ReadWav(const std::string& path, WavData* out) {
   if (channels == 0 || sample_rate == 0 || data_len == 0) return false;
   // 1 = PCM int, 3 = IEEE float
   if (format != 1 && format != 3) return false;
+  if (bits < 8 || bits % 8 != 0) return false;  // malformed fmt chunk
 
   const uint8_t* d = buf.data() + data_off;
   size_t bytes_per = bits / 8;

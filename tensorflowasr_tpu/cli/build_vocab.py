@@ -69,8 +69,19 @@ def main(argv=None) -> int:
                 n_lines += 1
 
     def write(path, counter, specials=()):
-        toks = [t for t, c in sorted(counter.items())
-                if c >= args.min_count]
+        toks = []
+        for t, c in sorted(counter.items()):
+            if c < args.min_count:
+                continue
+            if t == " ":
+                toks.append("[SPACE]")      # loader maps it back to " "
+            elif not t.strip() or t.startswith("#"):
+                # unrepresentable in the one-token-per-line format
+                # (TextFeaturizer treats '#' lines as comments)
+                print(f"warning: dropping unrepresentable token {t!r}",
+                      file=sys.stderr)
+            else:
+                toks.append(t)
         with open(path, "w", encoding="utf-8") as f:
             for s in specials:
                 f.write(s + "\n")

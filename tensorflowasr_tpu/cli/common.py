@@ -111,13 +111,9 @@ def build_featurizers(config: UserConfig
                                  Optional[PinyinConverter], bool]:
     """-> (phone featurizer, char featurizer, pinyin2phone map,
     pinyin converter, transcripts_are_pinyin)."""
-    inp = dict((config["inp_config"] or {}).items()) \
-        if config["inp_config"] else {}
-    tar = dict((config["tar_config"] or {}).items()) \
-        if config["tar_config"] else {}
-    phone_f = TextFeaturizer(inp)
-    char_f = TextFeaturizer(tar)
-    sc = config["speech_config"] or {}
+    phone_f = TextFeaturizer(dict(config.section("inp_config").data))
+    char_f = TextFeaturizer(dict(config.section("tar_config").data))
+    sc = config.section("speech_config")
     p2p_path = sc["pinyin_map"]
     p2p = load_pinyin2phone(p2p_path) if p2p_path else {}
     transcripts_are_pinyin = bool(sc["transcripts_are_pinyin"])

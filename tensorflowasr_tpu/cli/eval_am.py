@@ -20,7 +20,7 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     config = load_config(args)
     phone_f, char_f, p2p, pin, pinyin_txt = build_featurizers(config)
-    name = (config["model_config"] or {})["name"] or "OfflineConformerCTC"
+    name = config.section("model_config")["name"] or "OfflineConformerCTC"
 
     if name == "ChunkConformer":
         from tensorflowasr_tpu.data.chunk_dataloader import ChunkDataLoader
@@ -54,7 +54,7 @@ def main(argv=None) -> int:
         if not trainer.restore():
             print("warning: no checkpoint found; evaluating random init",
                   file=sys.stderr)
-        tester = AMTester(trainer)
+        tester = AMTester(trainer, char_end_id=char_f.endid())
         result = tester.run(dl.generator(train=False),
                             max_batches=args.max_batches)
     print(json.dumps(result))

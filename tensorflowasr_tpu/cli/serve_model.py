@@ -85,7 +85,8 @@ def main(argv=None) -> int:
     logger.info("ctc_logits compiled: %s", logits.shape)
     ops["translate"](np.zeros((1, 8), np.int32), enc)
     logger.info("translate compiled")
-    ops["vad"](np.zeros((1, 10, 80), np.float32))
+    vad_frame = (vad_engine.frame_input if vad_engine is not None else 80)
+    ops["vad"](np.zeros((1, 10, vad_frame), np.float32))
     logger.info("warmup done")
 
     server = ModelServer(ops, unix_path=args.socket,

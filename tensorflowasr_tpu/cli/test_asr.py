@@ -34,7 +34,10 @@ def main(argv=None) -> int:
     peak = np.abs(padded).max()
     if peak > 0:
         padded = padded / peak
-    in_len = sf.reduced_length(len(wav))
+    # floor convention — matches the training dataloader's input_length
+    # (am_dataloader._input_length); ceil would add a zero-pad frame the
+    # model never saw in training
+    in_len = max(1, len(wav) // (sf.hop_size * sf.reduction_factor))
 
     trainer = CTCTrainer(config, phone_f.num_classes, char_f.num_classes,
                          blank_id=phone_f.blank,

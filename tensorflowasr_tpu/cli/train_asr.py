@@ -20,7 +20,7 @@ def main(argv=None) -> int:
     args = config_parser(__doc__).parse_args(argv)
     config = load_config(args)
     phone_f, char_f, p2p, pin, pinyin_txt = build_featurizers(config)
-    name = (config["model_config"] or {})["name"] or "OfflineConformerCTC"
+    name = config.section("model_config")["name"] or "OfflineConformerCTC"
 
     if name == "ChunkConformer":
         from tensorflowasr_tpu.data.chunk_dataloader import ChunkDataLoader

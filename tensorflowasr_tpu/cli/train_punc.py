@@ -5,11 +5,8 @@ orbax checkpoints under running_config.outdir)."""
 from __future__ import annotations
 
 import logging
-import os
 import sys
 
-import jax
-import jax.numpy as jnp
 
 from tensorflowasr_tpu.cli.common import (
     build_punc_model,
@@ -32,40 +29,27 @@ def main(argv=None) -> int:
         make_punc_train_step,
     )
 
+    from tensorflowasr_tpu.train.base import GenericTrainer
+
     _, dl, model, state = build_punc_model(config)
     dl.bert_feature_dir = args.bert_feature_dir
-    train_step = make_punc_train_step(model, donate=False)
-    eval_step = make_punc_eval_step(model)
 
     rc = config.section("running_config")
-    ckpt_mgr = None
-    if rc["outdir"]:
-        from tensorflowasr_tpu.train.checkpoint import CheckpointManager
+    trainer = GenericTrainer(
+        state, make_punc_train_step(model, donate=False),
+        make_punc_eval_step(model), outdir=rc["outdir"] or "./punc-logs",
+        running_config=rc)
+    if rc["outdir"] and trainer.restore():
+        logger.info("resumed from step %d", int(trainer.state.step))
 
-        ckpt_mgr = CheckpointManager(os.path.join(rc["outdir"],
-                                                  "checkpoints"))
-        restored = ckpt_mgr.restore_latest(state)
-        if restored is not None:
-            state = restored
-            logger.info("resumed from step %d", int(state.step))
+    def train_iter():
+        while True:
+            yield dl.generate(True)
+            dl.save_state()     # resumable offset snapshot per batch
 
-    log_interval = rc["log_interval_steps"] or 100
-    save_interval = rc["save_interval_steps"] or 500
-    key = jax.random.PRNGKey(0)
-    for step in range(1, args.total_steps + 1):
-        b = {k: jnp.asarray(v) for k, v in dl.generate(True).items()}
-        state, metrics = train_step(state, b, key)
-        if step % log_interval == 0:
-            dl.save_state()
-            eb = {k: jnp.asarray(v) for k, v in dl.generate(False).items()}
-            em = eval_step(state, eb)
-            logger.info("step %d train %s eval %s", step,
-                        {k: round(float(v), 4) for k, v in metrics.items()},
-                        {k: round(float(v), 4) for k, v in em.items()})
-        if ckpt_mgr is not None and step % save_interval == 0:
-            ckpt_mgr.save(int(state.step), state)
-    if ckpt_mgr is not None:
-        ckpt_mgr.save(int(state.step), state)
+    trainer.fit(train_iter(), eval_iter=dl.generator(train=False),
+                total_steps=args.total_steps)
+    trainer.save()
     return 0
 
 

@@ -31,9 +31,11 @@ class AMTester:
     """Offline/block-streaming ConformerCTC eval: phone SER/CER from greedy
     CTC + char SER/CER from the translator (am_tester.py:34-158)."""
 
-    def __init__(self, trainer, log_every: int = 20):
+    def __init__(self, trainer, log_every: int = 20,
+                 char_end_id: Optional[int] = None):
         self.trainer = trainer
         self.log_every = log_every
+        self.char_end_id = char_end_id
         self.phone_acc = ErrorRateAccumulator("phone_cer")
         self.char_acc = ErrorRateAccumulator("char_cer")
 
@@ -58,19 +60,19 @@ class AMTester:
                 self.phone_acc.update(ref_p, hyp_p)
                 ref_c = _trim_pad(batch["chars"][i],
                                   int(batch["char_length"][i]))
-                hyp_c = self._trim_chars(char_ids[i], len(ref_c))
+                hyp_c = self._trim_chars(char_ids[i])
                 self.char_acc.update(ref_c, hyp_c)
             if (step + 1) % self.log_every == 0:
                 logger.info("eval step %d: %s", step + 1, self.result())
         return self.result()
 
-    @staticmethod
-    def _trim_chars(ids: np.ndarray, ref_len: int) -> list:
-        """Strip trailing pads/</S> like test_asr.py:206-219: stop at the
-        first pad (0) or end id (</S>); cap at translator output length."""
+    def _trim_chars(self, ids: np.ndarray) -> list:
+        """Strip trailing output like test_asr.py:206-219: stop at the
+        first pad (0) or the </S> end id when configured."""
         out = []
         for v in ids:
-            if v == 0:
+            if v == 0 or (self.char_end_id is not None
+                          and v == self.char_end_id):
                 break
             out.append(int(v))
         return out

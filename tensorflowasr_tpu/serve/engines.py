@@ -65,13 +65,19 @@ class ASREngine:
 
     # -- engine API ---------------------------------------------------------
     def extract_feature(self, audio: np.ndarray) -> np.ndarray:
-        """wav chunk [n<=chunk_samples] -> encoder output
-        [valid_frames, dmodel]."""
+        """wav chunk [n <= chunk_samples] -> encoder output
+        [valid_frames, dmodel]. Longer inputs are processed in
+        chunk_samples pieces and concatenated (block-streaming semantics)
+        rather than silently truncated."""
         n = len(audio)
+        if n > self.chunk_samples:
+            parts = [self.extract_feature(audio[i:i + self.chunk_samples])
+                     for i in range(0, n, self.chunk_samples)]
+            return np.concatenate(parts, axis=0)
         n_valid = max(1, int(np.ceil(n / (self.chunk_samples
                                           / self.chunk_frames))))
         buf = np.zeros((1, self.chunk_samples), np.float32)
-        buf[0, :n] = audio[:self.chunk_samples]
+        buf[0, :n] = audio
         enc = np.asarray(self._encode(self.variables, jnp.asarray(buf)))[0]
         return enc[:min(n_valid, enc.shape[0])]
 

@@ -223,8 +223,16 @@ def build_asr_ops(asr_engine, vad_engine=None) -> Dict[str, Callable]:
                           method=ConformerCTC.translate)
         return np.asarray(out)[0]
 
+    def info() -> np.ndarray:
+        """[chunk_samples, sample_rate, dmodel] — clients size their feed
+        chunks from this instead of guessing (an unquantized guess used to
+        be silently truncated)."""
+        return np.asarray([asr_engine.chunk_samples,
+                           asr_engine.sample_rate,
+                           asr_engine.model.cfg.dmodel], np.int32)
+
     ops = {"encode": encode, "ctc_logits": ctc_logits,
-           "translate": translate}
+           "translate": translate, "info": info}
     if vad_engine is not None:
         ops["vad"] = lambda frames: vad_engine.inference(frames)
     else:

@@ -124,3 +124,23 @@ class TrainerBase:
             return {}
         return {k: float(np.mean([float(m[k]) for m in out]))
                 for k in out[0]}
+
+
+class GenericTrainer(TrainerBase):
+    """Adapter wiring prebuilt jitted steps + a state into the shared
+    fit/eval/checkpoint loop (used by the VAD / punctuation CLIs)."""
+
+    def __init__(self, state, train_step, eval_step, outdir: str,
+                 running_config=None, mesh=None, sample_rate: int = 0):
+        self.state = state
+        self.train_step = train_step
+        self.eval_step = eval_step
+        self.outdir = outdir or "."
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(
+            devices=jax.devices()[:1])
+        rc = running_config
+        self.log_interval = cfg_get(rc, "log_interval_steps", 100)
+        self.save_interval = cfg_get(rc, "save_interval_steps", 500)
+        self.eval_interval = cfg_get(rc, "eval_interval_steps",
+                                     self.log_interval)
+        self.sample_rate = sample_rate

@@ -74,7 +74,9 @@ def make_vad_train_step(model, donate: bool = True) -> Callable:
         }
         return total, metrics
 
-    def step(state: ASRTrainState, batch):
+    def step(state: ASRTrainState, batch, rng=None):
+        # rng accepted for TrainerBase.fit compatibility (unused: the VAD
+        # models have no dropout)
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, batch)
         return state.apply_gradients(grads=grads), metrics

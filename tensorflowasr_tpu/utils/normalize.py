@@ -57,13 +57,17 @@ def int_to_hanzi(n: int) -> str:
         n, rem = divmod(n, 10000)
         groups.append(rem)
     out = ""
+    skipped_group = False
     for i in range(len(groups) - 1, -1, -1):
         rem = groups[i]
         if rem == 0:
+            skipped_group = True
             continue
-        # inner zero between groups: 100500 -> 十万零五百
-        if out and rem < 1000:
+        # inner zero: within a group (100500 -> 十万零五百) or across a
+        # skipped all-zero group (100002000 -> 一亿零二千)
+        if out and (rem < 1000 or skipped_group):
             out += "零"
+        skipped_group = False
         out += _four_digits_to_hanzi(rem) + _UNITS_BIG[i]
     # 一十X -> 十X for 10..19
     if out.startswith("一十"):

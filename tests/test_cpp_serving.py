@@ -73,11 +73,15 @@ def test_cpp_session_end_to_end(cpp_build, tmp_path):
     try:
         # protocol sanity via the python client first
         client = ModelClient(tcp_port=server.tcp_port)
+        info = client.call("info")[0]
+        assert info[0] == asr_engine.chunk_samples
+        # 8000 samples = one 7680 quantum + 320 remainder (kept, not
+        # truncated): chunk_frames + 1 output frames
         enc = client.call("encode",
                           np.zeros((1, 8000), np.float32))[0]
-        assert enc.shape == (asr_engine.chunk_frames, 32)
+        assert enc.shape == (asr_engine.chunk_frames + 1, 32)
         logits = client.call("ctc_logits", enc)[0]
-        assert logits.shape == (asr_engine.chunk_frames, n_phone)
+        assert logits.shape == (asr_engine.chunk_frames + 1, n_phone)
         with pytest.raises(RuntimeError):
             client.call("no_such_op", enc)
         client.close()

@@ -69,13 +69,20 @@ def test_silence_detector():
 
 
 def test_asr_engine_feature_and_decode(asr_engine):
+    # 0.5 s = 8000 samples > the 7680-sample chunk quantum: the engine
+    # processes the 320-sample remainder as its own piece instead of
+    # silently truncating it (13 frames, not 12)
     enc = asr_engine.extract_feature(_sine(300, 0.5))
-    assert enc.shape[0] == asr_engine.chunk_frames
+    assert enc.shape[0] == asr_engine.chunk_frames + 1
     assert enc.shape[1] == 32
+    # exactly one quantum -> exactly chunk_frames
+    enc1 = asr_engine.extract_feature(
+        _sine(300, 0.5)[:asr_engine.chunk_samples])
+    assert enc1.shape[0] == asr_engine.chunk_frames
     # short final chunk -> fewer valid frames
     enc2 = asr_engine.extract_feature(_sine(300, 0.1))
-    assert enc2.shape[0] < enc.shape[0]
-    out = asr_engine.decode([enc, enc2])
+    assert enc2.shape[0] < enc1.shape[0]
+    out = asr_engine.decode([enc1, enc2])
     assert isinstance(out, list)
 
 
