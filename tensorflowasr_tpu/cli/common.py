@@ -21,6 +21,9 @@ def config_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--model_config", required=True,
                    help="model YAML (model_config section)")
     p.add_argument("--total_steps", type=int, default=10000)
+    p.add_argument("--data_workers", type=int, default=4,
+                   help="host threads for wav loading (reference: "
+                        "fit(workers=10)); prefetch runs when > 0")
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--log_level", default="INFO")

@@ -37,7 +37,9 @@ def main(argv=None) -> int:
         batch = dl.generate(train=True)
         trainer.init_state(batch)
         trainer.restore()
-        trainer.fit(dl.generator(train=True),
+        trainer.fit(dl.generator(train=True, num_workers=args.data_workers,
+                                 prefetch_depth=2 if args.data_workers
+                                 else 0),
                     eval_iter=dl.generator(train=False),
                     total_steps=args.total_steps)
     else:
@@ -53,13 +55,10 @@ def main(argv=None) -> int:
         trainer.init_state(batch)
         trainer.restore()
 
-        def to_jnp(it):
-            import jax.numpy as jnp
-            for b in it:
-                yield {k: jnp.asarray(v) for k, v in b.items()}
-
-        trainer.fit(to_jnp(dl.generator(train=True)),
-                    eval_iter=to_jnp(dl.generator(train=False)),
+        trainer.fit(dl.generator(train=True, num_workers=args.data_workers,
+                                 prefetch_depth=2 if args.data_workers
+                                 else 0),
+                    eval_iter=dl.generator(train=False),
                     total_steps=args.total_steps)
     return 0
 

@@ -128,6 +128,9 @@ class AMDataLoader:
         self.train_offset = 0
         self.test_offset = 0
         self.epochs = 0
+        import threading
+
+        self._line_lock = threading.Lock()
 
     @staticmethod
     def _read_list(path: str) -> List[str]:
@@ -228,10 +231,14 @@ class AMDataLoader:
         return None
 
     def generate(self, train: bool = True,
-                 bucket: Optional[BucketSpec] = None
-                 ) -> Dict[str, np.ndarray]:
+                 bucket: Optional[BucketSpec] = None,
+                 num_workers: int = 1) -> Dict[str, np.ndarray]:
         """One padded batch; all samples share one bucket (the bucket of
-        the first accepted sample unless pinned via ``bucket``)."""
+        the first accepted sample unless pinned via ``bucket``).
+        ``num_workers`` > 1 loads wavs through a thread pool (line drawing
+        stays ordered under a lock)."""
+        from tensorflowasr_tpu.data.prefetch import parallel_map
+
         source = self.train_list if train else self.test_list
         if not source:
             raise RuntimeError("empty data list")
@@ -243,22 +250,28 @@ class AMDataLoader:
             if guard > 100 * self.batch:
                 raise RuntimeError("too many rejected samples; check vocab "
                                    "and bucket settings")
-            aug = (train and self.augment.available()
-                   and self.rng.random() < 0.25)
-            item = self.load_one(self._next_line(train), augment=aug)
-            if item is None:
-                continue
-            wav, ph, ch = item
-            b = self._bucket_for(len(wav), len(ph), len(ch))
-            if b is None:
-                continue
-            if chosen is None:
-                chosen = b
-            elif b.wav_cap > chosen.wav_cap:
-                continue
-            wavs.append(wav)
-            phones.append(ph)
-            chars.append(ch)
+            need = self.batch - len(wavs)
+            with self._line_lock:
+                lines = [self._next_line(train) for _ in range(need)]
+            augs = [train and self.augment.available()
+                    and self.rng.random() < 0.25 for _ in lines]
+            items = parallel_map(
+                lambda la: self.load_one(la[0], augment=la[1]),
+                list(zip(lines, augs)), num_workers=num_workers)
+            for item in items:
+                if item is None or len(wavs) >= self.batch:
+                    continue
+                wav, ph, ch = item
+                b = self._bucket_for(len(wav), len(ph), len(ch))
+                if b is None:
+                    continue
+                if chosen is None:
+                    chosen = b
+                elif b.wav_cap > chosen.wav_cap:
+                    continue
+                wavs.append(wav)
+                phones.append(ph)
+                chars.append(ch)
         return self._pack(wavs, phones, chars, chosen)
 
     def _pack(self, wavs, phones, chars, b: BucketSpec
@@ -283,7 +296,22 @@ class AMDataLoader:
             "chars": ch_arr, "char_length": ch_len,
         }
 
-    def generator(self, train: bool = True
+    def generator(self, train: bool = True, num_workers: int = 1,
+                  prefetch_depth: int = 0
                   ) -> Iterator[Dict[str, np.ndarray]]:
-        while True:
-            yield self.generate(train)
+        """Endless batch iterator. ``prefetch_depth`` > 0 moves batch
+        production to background threads (host prep overlaps device
+        compute — the reference's workers=10 equivalent)."""
+        if prefetch_depth > 0:
+            from tensorflowasr_tpu.data.prefetch import PrefetchIterator
+
+            return PrefetchIterator(
+                lambda: self.generate(train, num_workers=num_workers),
+                depth=prefetch_depth, num_workers=max(1, num_workers // 4)
+                if num_workers > 4 else 1)
+
+        def gen():
+            while True:
+                yield self.generate(train, num_workers=num_workers)
+
+        return gen()

@@ -45,7 +45,8 @@ class ChunkDataLoader(AMDataLoader):
     def _extra_text(self, train: bool):
         """Sample an extra transcript for the helper branch."""
         for _ in range(50):
-            line = self._next_line(train)
+            with self._line_lock:
+                line = self._next_line(train)
             try:
                 _, txt = line.split("\t", 1)
             except ValueError:
@@ -66,9 +67,9 @@ class ChunkDataLoader(AMDataLoader):
         raise RuntimeError("could not sample a valid extra text line")
 
     def generate(self, train: bool = True,
-                 bucket: Optional[BucketSpec] = None
-                 ) -> Dict[str, np.ndarray]:
-        batch = super().generate(train, bucket)
+                 bucket: Optional[BucketSpec] = None,
+                 num_workers: int = 1) -> Dict[str, np.ndarray]:
+        batch = super().generate(train, bucket, num_workers=num_workers)
         n = batch["wav"].shape[0]
         # infer the bucket used from the packed capacities
         phone_cap = batch["phones"].shape[1]
@@ -92,6 +93,4 @@ class ChunkDataLoader(AMDataLoader):
                      extra_chars=ex_ch, extra_char_length=ex_ch_len)
         return batch
 
-    def generator(self, train: bool = True) -> Iterator[Dict]:
-        while True:
-            yield self.generate(train)
+    # generator() inherited from AMDataLoader (incl. prefetch support)
