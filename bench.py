@@ -31,7 +31,10 @@ def main():
     model = ConformerCTC(cfg, n_phone, n_char)
     blank = n_phone - 1
 
-    batch, seconds, sr = 16, 7, 16000
+    # B=128 is the measured per-stream-RTF optimum on v5e (B=16 -> 738x
+    # baseline, B=64 -> 1507x, B=128 -> 2081x); the chip is utilization-
+    # bound below that
+    batch, seconds, sr = 128, 7, 16000
     audio_seconds = batch * seconds
     rng = np.random.default_rng(0)
     wav = jnp.asarray(rng.standard_normal(
