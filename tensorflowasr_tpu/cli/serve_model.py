@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import logging
 import sys
-import time
 
 from tensorflowasr_tpu.cli.common import (
     build_featurizers,

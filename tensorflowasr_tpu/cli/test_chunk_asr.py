@@ -26,7 +26,6 @@ def main(argv=None) -> int:
     config = load_config(args)
     phone_f, char_f, _, _, _ = build_featurizers(config)
 
-    from tensorflowasr_tpu.models.chunk_conformer import ChunkConformer
     from tensorflowasr_tpu.serve.chunk_session import ChunkStreamSession
     from tensorflowasr_tpu.train.chunk_trainer import ChunkTrainer
     from tensorflowasr_tpu.utils.audio import read_wav

@@ -24,7 +24,7 @@ int16-quantizes (:213-218), matching the reference exactly.
 from __future__ import annotations
 
 import random
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import numpy as np
 from scipy import signal as sps

@@ -18,7 +18,7 @@ extra_phone_length, extra_chars [B, Ue], extra_char_length.
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Callable, Dict, Sequence
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ onto the MXU. Everything is static-shape.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -11,7 +11,7 @@ ever (XLA requirement — the ONNX sessions took dynamic shapes).
 from __future__ import annotations
 
 import functools
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -22,12 +22,9 @@ Batch dict (all static shapes, host-side bucketing pads them):
 
 from __future__ import annotations
 
-import functools
-import json
 import logging
 import os
-import time
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,6 @@ from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from tensorflowasr_tpu.models.chunk_conformer import ChunkConformer
 from tensorflowasr_tpu.ops.ctc import ctc_greedy_decode, ctc_loss

@@ -17,7 +17,6 @@ from typing import Any, Optional
 
 import jax.numpy as jnp
 import optax
-from flax import struct
 from flax.training import train_state
 
 

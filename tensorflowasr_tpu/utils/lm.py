@@ -9,7 +9,7 @@ consumed by ``ops.beam.ctc_beam_search_decode(lm_logp=..., lm_weight=...)``.
 
 from __future__ import annotations
 
-from typing import Iterable, List, Sequence
+from typing import Iterable, Sequence
 
 import numpy as np
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 import contextlib
 import time
 from collections import deque
-from typing import Deque, Optional, Tuple
+from typing import Deque, Tuple
 
 
 @contextlib.contextmanager
