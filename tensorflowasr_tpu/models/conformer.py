@@ -33,6 +33,7 @@ from tensorflowasr_tpu.models.layers import (
     ConformerBlock,
     ConvSubsampling,
     RBlock,
+    ScannedConformerBlocks,
 )
 from tensorflowasr_tpu.ops import frontend as fe
 
@@ -73,6 +74,10 @@ class ConformerConfig:
     streaming_bucket: float = 0.5            # seconds per chunk
     # compute
     dtype_str: str = "float32"               # compute dtype for matmuls
+    scan_layers: bool = False                # lax.scan over encoder blocks
+    #   (stacked [L, ...] params; ~L-fold faster XLA compiles — use for
+    #   deep stacks / the 17-minute fused streaming compile; param trees
+    #   are NOT checkpoint-compatible with the unrolled layout)
 
     @property
     def dtype(self):
@@ -125,6 +130,26 @@ class ConformerConfig:
             streaming=g(sc, "streaming", False),
             streaming_bucket=g(sc, "streaming_bucket", 0.5),
         )
+
+
+def _encoder_blocks(c: "ConformerConfig", x, training):
+    """The N-block conformer stack: unrolled (one named submodule per
+    layer) or scanned (stacked params, ~N-fold faster compiles) depending
+    on ``scan_layers``."""
+    if c.scan_layers:
+        return ScannedConformerBlocks(
+            num_blocks=c.num_blocks, input_dim=c.dmodel, dropout=c.dropout,
+            fc_factor=c.fc_factor, head_size=c.head_size,
+            num_heads=c.num_heads, kernel_size=c.kernel_size,
+            dtype=c.dtype, name="conformer_blocks")(x, training)
+    for i in range(c.num_blocks):
+        x = ConformerBlock(
+            input_dim=c.dmodel, dropout=c.dropout,
+            fc_factor=c.fc_factor, head_size=c.head_size,
+            num_heads=c.num_heads, kernel_size=c.kernel_size,
+            dtype=c.dtype, name=f"conformer_block_{i}",
+        )(x, training)
+    return x
 
 
 class MelFrontend(nn.Module):
@@ -183,13 +208,7 @@ class ConformerEncoder(nn.Module):
                 c.dmodel, c.hop_size * c.reduction_factor, dtype=c.dtype,
                 name="wav_layer")(wav, training)
             x = x + wav_feat[:, :x.shape[1]]
-        for i in range(c.num_blocks):
-            x = ConformerBlock(
-                input_dim=c.dmodel, dropout=c.dropout,
-                fc_factor=c.fc_factor, head_size=c.head_size,
-                num_heads=c.num_heads, kernel_size=c.kernel_size,
-                dtype=c.dtype, name=f"conformer_block_{i}",
-            )(x, training)
+        x = _encoder_blocks(c, x, training)
         return x.astype(jnp.float32)
 
 
@@ -226,13 +245,7 @@ class StreamingConformerEncoder(nn.Module):
                 c.dmodel, c.hop_size * c.reduction_factor, dtype=c.dtype,
                 name="wav_layer")(x, training)
             y = y + wav_feat[:, :y.shape[1]]
-        for i in range(c.num_blocks):
-            y = ConformerBlock(
-                input_dim=c.dmodel, dropout=c.dropout,
-                fc_factor=c.fc_factor, head_size=c.head_size,
-                num_heads=c.num_heads, kernel_size=c.kernel_size,
-                dtype=c.dtype, name=f"conformer_block_{i}",
-            )(y, training)
+        y = _encoder_blocks(c, y, training)
         return y.reshape(b, -1, c.dmodel).astype(jnp.float32)
 
 
@@ -347,6 +360,35 @@ class ConformerCTC(nn.Module):
 
     def translate(self, phone_ids, enc, training: bool = False):
         return self.translator(phone_ids, enc, training)
+
+
+def stack_encoder_block_params(encoder_tree: dict, num_blocks: int) -> dict:
+    """Convert an UNROLLED encoder param/batch_stats subtree
+    (conformer_block_0..N-1) to the SCANNED layout
+    (conformer_blocks/scan/block with a stacked leading [N, ...] axis) so
+    existing checkpoints migrate to ``scan_layers=True``."""
+    import jax
+
+    out = {k: v for k, v in encoder_tree.items()
+           if not k.startswith("conformer_block_")}
+    blocks = [encoder_tree[f"conformer_block_{i}"]
+              for i in range(num_blocks)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
+    out["conformer_blocks"] = {"scan": {"block": stacked}}
+    return out
+
+
+def unstack_encoder_block_params(encoder_tree: dict) -> dict:
+    """Inverse of :func:`stack_encoder_block_params`."""
+    import jax
+
+    out = {k: v for k, v in encoder_tree.items()
+           if k != "conformer_blocks"}
+    stacked = encoder_tree["conformer_blocks"]["scan"]["block"]
+    n = jax.tree.leaves(stacked)[0].shape[0]
+    for i in range(n):
+        out[f"conformer_block_{i}"] = jax.tree.map(lambda x: x[i], stacked)
+    return out
 
 
 def count_params(params) -> int:

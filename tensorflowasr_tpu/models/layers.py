@@ -154,6 +154,61 @@ class ConformerBlock(nn.Module):
         return nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
 
 
+class ScannedConformerBlocks(nn.Module):
+    """N identical ConformerBlocks applied via ``nn.scan`` with stacked
+    [N, ...] parameters — XLA traces ONE block instead of N, cutting
+    compile time roughly N-fold for deep stacks. Numerics are identical
+    to the unrolled loop (same math, different param layout)."""
+
+    num_blocks: int
+    input_dim: int
+    dropout: float = 0.0
+    fc_factor: float = 0.5
+    head_size: int = 36
+    num_heads: int = 4
+    kernel_size: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        # each block ends in a float32 LayerNorm, so the inter-block dtype
+        # is f32 even under bf16 compute; the scan carry must match it
+        x = x.astype(jnp.float32)
+        scan = nn.scan(
+            _ScanBody,
+            variable_axes={"params": 0, "batch_stats": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=self.num_blocks,
+        )
+        out, _ = scan(
+            input_dim=self.input_dim, dropout=self.dropout,
+            fc_factor=self.fc_factor, head_size=self.head_size,
+            num_heads=self.num_heads, kernel_size=self.kernel_size,
+            dtype=self.dtype, training=training, name="scan",
+        )(x, None)
+        return out
+
+
+class _ScanBody(nn.Module):
+    input_dim: int
+    dropout: float
+    fc_factor: float
+    head_size: int
+    num_heads: int
+    kernel_size: int
+    dtype: jnp.dtype
+    training: bool
+
+    @nn.compact
+    def __call__(self, carry, _):
+        out = ConformerBlock(
+            input_dim=self.input_dim, dropout=self.dropout,
+            fc_factor=self.fc_factor, head_size=self.head_size,
+            num_heads=self.num_heads, kernel_size=self.kernel_size,
+            dtype=self.dtype, name="block")(carry, self.training)
+        return out, None
+
+
 def positional_encoding(length: int, dmodel: int) -> np.ndarray:
     """Interleaved sin/cos PE table [length, dmodel]
     (parity: asr/models/layers/positional_encoding.py:19-53)."""
