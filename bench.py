@@ -27,7 +27,8 @@ def main():
 
     n_phone, n_char = 231, 9161
     cfg = ConformerConfig(dropout=0.0, ctcdecoder_dropout=0.0,
-                          translator_dropout=0.0, dtype_str="bfloat16")
+                          translator_dropout=0.0, dtype_str="bfloat16",
+                          scan_layers=True)
     model = ConformerCTC(cfg, n_phone, n_char)
     blank = n_phone - 1
 
