@@ -78,6 +78,8 @@ class ChunkStackConfig:
     dropout: float = 0.0
     win_front: int = 36
     win_back: int = 0
+    scan_layers: bool = False    # lax.scan over blocks (stacked params;
+    #   ~num_blocks-fold faster compiles, e.g. the fused streaming step)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -456,17 +458,39 @@ class ChunkFront(nn.Module):
 
 class ChunkStack(nn.Module):
     """N ChunkBlocks threading per-layer [L, B, wf, d] / [L, B, k, d] caches
-    with valid/unvalid lookahead split (:462-568)."""
+    with valid/unvalid lookahead split (:462-568). With
+    ``cfg.scan_layers`` the blocks run under function-level ``nn.scan``
+    over ONE child block with stacked [L, ...] params — one traced block
+    instead of N, shared between the offline and streaming paths."""
 
     cfg: ChunkStackConfig
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.blocks = [
-            ChunkBlock(self.cfg, dtype=self.dtype, name=f"block_{i}")
-            for i in range(self.cfg.num_blocks)]
+        if self.cfg.scan_layers:
+            self.block = ChunkBlock(self.cfg, dtype=self.dtype,
+                                    name="block")
+        else:
+            self.blocks = [
+                ChunkBlock(self.cfg, dtype=self.dtype, name=f"block_{i}")
+                for i in range(self.cfg.num_blocks)]
+
+    def _scan(self, body):
+        return nn.scan(
+            body,
+            variable_axes={"params": 0, "batch_stats": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=self.cfg.num_blocks)
 
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        if self.cfg.scan_layers:
+            def body(block, carry, _):
+                return block(carry, training), None
+
+            # blocks end in f32 LN -> f32 inter-block carry
+            out, _ = self._scan(body)(self.block,
+                                      x.astype(jnp.float32), None)
+            return out
         for b in self.blocks:
             x = b(x, training)
         return x
@@ -487,6 +511,18 @@ class ChunkStack(nn.Module):
         t = x.shape[1]
         n_keep = t - wb
         appended_real = jnp.maximum(n_keep - skip, 0)
+        if c.scan_layers:
+            def body(block, carry, caches):
+                xc, fl, sk = carry
+                mha_c, cnn_c = caches
+                out, new_mha, new_cnn = block.stream_call(
+                    xc, mha_c, cnn_c, fl, sk, n_keep)
+                return (out, fl, sk), (new_mha, new_cnn)
+
+            (out, _, _), (new_mha, new_cnn) = self._scan(body)(
+                self.block, (x.astype(jnp.float32), fill, skip),
+                (mha_caches, cnn_caches))
+            return out, new_mha, new_cnn, fill + appended_real
         new_mha, new_cnn = [], []
         layer_in = x
         for i, b in enumerate(self.blocks):
