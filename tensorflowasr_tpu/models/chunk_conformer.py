@@ -702,7 +702,23 @@ class ChunkConformer(nn.Module):
         return char_logits, phone_logits, counts
 
     # -- streaming --------------------------------------------------------
+    def _check_streamable(self) -> None:
+        """The ring streaming pipeline delays outputs only at the picker and
+        decoder stages; a nonzero encoder/helper win_back would silently
+        produce outputs that lack their configured lookahead (reference
+        supports it via per-level valid/unvalid splitting,
+        chunk_conformer_blocks.py:530-560 — not implemented here). Offline
+        ``train_forward``/``offline_predict`` support any win_back."""
+        c = self.cfg
+        if c.encoder.win_back != 0 or c.helper.win_back != 0:
+            raise ValueError(
+                "streaming requires encoder/helper win_back == 0 (got "
+                f"encoder={c.encoder.win_back}, helper={c.helper.win_back}); "
+                "lookahead is supported on the picker and decoder stacks "
+                "only. Use offline_predict for lookahead-everywhere configs.")
+
     def init_picker_caches(self, batch: int) -> Dict[str, jnp.ndarray]:
+        self._check_streamable()
         wav_cache, sub_cache = self.front.init_caches(batch)
         enc_mha, enc_cnn = self.encoder.init_caches(batch)
         pk_mha, pk_cnn = self.phone_picker.init_caches(batch)
@@ -718,6 +734,7 @@ class ChunkConformer(nn.Module):
         }
 
     def init_decoder_caches(self, batch: int) -> Dict[str, jnp.ndarray]:
+        self._check_streamable()
         h_mha, h_cnn = self.helper.init_caches(batch)
         d_mha, d_cnn = self.decoder.init_caches(batch)
         wb = self.cfg.decoder.win_back
@@ -760,6 +777,7 @@ class ChunkConformer(nn.Module):
         win_back before the char decoder is 0 so n_final == t always).
         """
         c = self.cfg
+        self._check_streamable()
         if wav_chunk.shape[-1] != c.chunk_samples and (
                 wav_chunk.ndim != 3 or wav_chunk.shape[1] != c.chunk_samples):
             raise ValueError(
