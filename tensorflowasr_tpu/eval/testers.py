@@ -36,8 +36,8 @@ class AMTester:
         self.trainer = trainer
         self.log_every = log_every
         self.char_end_id = char_end_id
-        self.phone_acc = ErrorRateAccumulator("phone_cer")
-        self.char_acc = ErrorRateAccumulator("char_cer")
+        self.phone_acc = ErrorRateAccumulator("cer")
+        self.char_acc = ErrorRateAccumulator("cer")
 
     def run(self, batch_iter: Iterable[Dict[str, np.ndarray]],
             max_batches: Optional[int] = None) -> dict:
@@ -91,8 +91,8 @@ class ChunkTester:
         self.predict_step = predict_step
         self.state = state
         self.log_every = log_every
-        self.phone_acc = ErrorRateAccumulator("phone_cer")
-        self.char_acc = ErrorRateAccumulator("char_cer")
+        self.phone_acc = ErrorRateAccumulator("cer")
+        self.char_acc = ErrorRateAccumulator("cer")
 
     def run(self, batch_iter, max_batches: Optional[int] = None) -> dict:
         self.phone_acc.reset()
