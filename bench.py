@@ -1,23 +1,37 @@
-"""Benchmark: offline ASR inference RTF per stream on real TPU hardware.
+"""Benchmarks on real TPU hardware — prints ONE JSON line PER metric:
 
-Runs the flagship ConformerCTC(S) full pipeline (in-graph log-mel frontend
--> 13-block encoder -> CTC decoder -> greedy decode -> translator) on
-batched 7-second utterances and reports real-time factor per stream.
+1. offline_conformer_ctc_s_inference_rtf — flagship ConformerCTC(S) full
+   batched pipeline (in-graph log-mel frontend -> 13-block encoder -> CTC
+   decoder -> greedy decode -> translator), RTF per stream.
+   Baseline: reference RTF 0.056 on one CPU core (README.md:170).
+2. chunk_stream_rtf — ChunkConformer full-size fused streaming step
+   (ONE XLA program per 160 ms chunk), on-device compute latency / 0.16 s.
+   Baseline: reference ChunkConformer RTF 0.1 on one CPU core
+   (README.md:172; north star < 0.05/stream, BASELINE.md).
+3. chunk_stream_rtf_wall — same loop but with the serving session's
+   per-chunk host fetch included (includes tunnel RTT when the chip is
+   remote; colocated serving sits between this and the compute number).
+4. train_audio_sec_per_s — full-size DP training step (B=128, bf16, 8 s
+   utterances, donated state): audio seconds consumed per wall second on
+   one chip. The reference publishes no training throughput, so
+   vs_baseline is null.
 
-Baseline: the reference publishes RTF 0.056 for ConformerCTC(S) on one CPU
-core (README.md:170; BASELINE.md). vs_baseline = baseline_rtf / our_rtf
-(higher is better, >1 means faster than the reference).
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Each line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 
-def main():
+def _emit(metric, value, unit, vs_baseline):
+    print(json.dumps({"metric": metric, "value": value, "unit": unit,
+                      "vs_baseline": vs_baseline}), flush=True)
+
+
+def bench_offline_inference():
     import jax
     import jax.numpy as jnp
 
@@ -58,7 +72,6 @@ def main():
                                   method=ConformerCTC.translate)
         return phone_ids, phone_lens, jnp.argmax(char_logits, -1)
 
-    # warmup / compile
     out = pipeline(wav, input_length)
     jax.block_until_ready(out)
 
@@ -72,16 +85,146 @@ def main():
             out = pipeline(wav, input_length)
         jax.block_until_ready(out)
         best = min(best, (time.perf_counter() - t0) / iters)
-    dt = best
 
-    rtf = dt / audio_seconds  # per-stream real-time factor
-    baseline_rtf = 0.056      # README.md:170, 1 CPU core
-    print(json.dumps({
-        "metric": "offline_conformer_ctc_s_inference_rtf",
-        "value": rtf,
-        "unit": "rtf_per_stream",
-        "vs_baseline": baseline_rtf / rtf,
-    }))
+    rtf = best / audio_seconds
+    baseline_rtf = 0.056  # README.md:170, 1 CPU core
+    _emit("offline_conformer_ctc_s_inference_rtf", rtf, "rtf_per_stream",
+          baseline_rtf / rtf)
+
+
+def bench_chunk_stream():
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from tensorflowasr_tpu.models.chunk_conformer import (
+        ChunkConformer, ChunkConformerConfig)
+
+    base = ChunkConformerConfig(dtype_str="bfloat16")
+    cfg = dataclasses.replace(
+        base,
+        encoder=dataclasses.replace(base.encoder, scan_layers=True),
+        picker=dataclasses.replace(base.picker, scan_layers=True),
+        decoder=dataclasses.replace(base.decoder, scan_layers=True),
+        helper=dataclasses.replace(base.helper, scan_layers=True))
+    n_phone, n_char = 231, 9161
+    model = ChunkConformer(cfg, n_phone, n_char)
+
+    rng = np.random.default_rng(0)
+    chunk = jnp.asarray(rng.standard_normal(
+        (1, cfg.chunk_samples)).astype(np.float32) * 0.1)
+    variables = model.init(
+        jax.random.PRNGKey(0), chunk, jnp.ones((1, 4), jnp.int32), 8, False,
+        method=ChunkConformer.train_forward)
+
+    @jax.jit
+    def step(v, chunk, caches):
+        phone_ids, char_ids, prov_ids, n_final, new = model.apply(
+            v, chunk, caches, method=ChunkConformer.fused_stream_step)
+        packed = jnp.concatenate([
+            phone_ids.astype(jnp.float32), char_ids.astype(jnp.float32),
+            prov_ids.astype(jnp.float32), n_final.astype(jnp.float32)])
+        return packed, new
+
+    caches = model.apply(variables, 1,
+                         method=ChunkConformer.init_stream_caches)
+    packed, caches = step(variables, chunk, caches)   # compile
+    jax.block_until_ready(packed)
+
+    chunk_s = cfg.chunk_samples / cfg.sample_rate     # 0.16 s
+
+    # compute-only: chain the cache dependency, ONE final sync — this is
+    # the on-device per-chunk latency a colocated server pays
+    n_chunks, reps = 50, 3
+    best = float("inf")
+    for _ in range(reps):
+        c = model.apply(variables, 1,
+                        method=ChunkConformer.init_stream_caches)
+        t0 = time.perf_counter()
+        for _ in range(n_chunks):
+            packed, c = step(variables, chunk, c)
+        jax.block_until_ready(packed)
+        best = min(best, (time.perf_counter() - t0) / n_chunks)
+    _emit("chunk_stream_rtf", best / chunk_s, "rtf_per_stream",
+          0.1 / (best / chunk_s))
+
+    # wall: serving-session behavior — one dispatch + one packed host
+    # fetch per chunk (includes network RTT when the chip is tunneled)
+    best = float("inf")
+    for _ in range(reps):
+        c = model.apply(variables, 1,
+                        method=ChunkConformer.init_stream_caches)
+        t0 = time.perf_counter()
+        for _ in range(n_chunks):
+            packed, c = step(variables, chunk, c)
+            np.asarray(packed)
+        best = min(best, (time.perf_counter() - t0) / n_chunks)
+    _emit("chunk_stream_rtf_wall", best / chunk_s, "rtf_per_stream",
+          0.1 / (best / chunk_s))
+
+
+def bench_train_step():
+    import jax
+    import jax.numpy as jnp
+
+    from tensorflowasr_tpu.models.conformer import (
+        ConformerCTC, ConformerConfig)
+    from tensorflowasr_tpu.train.asr_trainer import make_train_step
+    from tensorflowasr_tpu.train.state import ASRTrainState, make_optimizer
+
+    n_phone, n_char = 231, 9161
+    cfg = ConformerConfig(dtype_str="bfloat16", scan_layers=True)
+    model = ConformerCTC(cfg, n_phone, n_char)
+
+    batch_size, seconds, sr = 128, 8, 16000
+    u_phone, u_char = 64, 32
+    rng = np.random.default_rng(0)
+    batch = {
+        "wav": jnp.asarray(rng.standard_normal(
+            (batch_size, seconds * sr)).astype(np.float32) * 0.1),
+        "input_length": jnp.full((batch_size,), seconds * 100 // 4,
+                                 jnp.int32),
+        "phones": jnp.asarray(rng.integers(
+            1, n_phone - 1, size=(batch_size, u_phone)).astype(np.int32)),
+        "phone_length": jnp.full((batch_size,), u_phone, jnp.int32),
+        "chars": jnp.asarray(rng.integers(
+            1, n_char, size=(batch_size, u_char)).astype(np.int32)),
+    }
+
+    variables = model.init(jax.random.PRNGKey(0), batch["wav"][:1],
+                           batch["phones"][:1])
+    tx = make_optimizer({"lr": 1e-4})
+    state = ASRTrainState.create(apply_fn=model.apply,
+                                 params=variables["params"], tx=tx,
+                                 batch_stats=variables.get("batch_stats"))
+
+    step = make_train_step(model, tx, blank_id=n_phone - 1, donate=True)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))  # compile
+    jax.block_until_ready(metrics)
+
+    iters, reps = 20, 3
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        jax.block_until_ready(metrics)
+        best = min(best, (time.perf_counter() - t0) / iters)
+
+    audio_sec_per_s = batch_size * seconds / best
+    # the reference publishes no training-throughput number -> no ratio
+    _emit("train_audio_sec_per_s", audio_sec_per_s, "audio_sec_per_s", None)
+
+
+def main():
+    for fn in (bench_offline_inference, bench_chunk_stream,
+               bench_train_step):
+        try:
+            fn()
+        except Exception as e:  # keep the other metrics flowing
+            print(f"bench section {fn.__name__} failed: {e!r}",
+                  file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
