@@ -57,18 +57,22 @@ class BeamState(NamedTuple):
     prefixes: jnp.ndarray     # [W, L] int32 (pad 0 beyond len)
     lengths: jnp.ndarray      # [W] int32
     last: jnp.ndarray         # [W] int32 last token (-1 for empty)
+    ctx: jnp.ndarray          # [W, C] int32 last C tokens (BOS-padded),
+    #                           the (order-1)-gram context for n-gram fusion
     h1: jnp.ndarray           # [W] uint32 rolling hash lane 1
     h2: jnp.ndarray           # [W] uint32 rolling hash lane 2
     p_b: jnp.ndarray          # [W] log p(prefix, ends in blank)
     p_nb: jnp.ndarray         # [W] log p(prefix, ends in non-blank)
 
 
-def _init_state(beam_width: int, max_len: int) -> BeamState:
+def _init_state(beam_width: int, max_len: int, ctx_len: int = 1,
+                bos: int = 0) -> BeamState:
     w, l = beam_width, max_len
     return BeamState(
         prefixes=jnp.zeros((w, l), jnp.int32),
         lengths=jnp.zeros((w,), jnp.int32),
         last=jnp.full((w,), -1, jnp.int32),
+        ctx=jnp.full((w, ctx_len), bos, jnp.int32),
         h1=jnp.full((w,), jnp.uint32(17), jnp.uint32),
         h2=jnp.full((w,), jnp.uint32(29), jnp.uint32),
         p_b=jnp.where(jnp.arange(w) == 0, 0.0, NEG_INF),
@@ -78,7 +82,8 @@ def _init_state(beam_width: int, max_len: int) -> BeamState:
 
 def _step(state: BeamState, logp_t: jnp.ndarray, blank_id: int,
           prune_k: int, max_len: int,
-          lm_logp: Optional[jnp.ndarray], lm_weight: float) -> BeamState:
+          lm_logp: Optional[jnp.ndarray], lm_weight: float,
+          ngram_lm=None) -> BeamState:
     w, l = state.prefixes.shape
     ptot = _logaddexp(state.p_b, state.p_nb)                     # [W]
 
@@ -97,7 +102,11 @@ def _step(state: BeamState, logp_t: jnp.ndarray, blank_id: int,
     same_as_last = ids == state.last[:, None]
     base = jnp.where(same_as_last, state.p_b[:, None], ptot[:, None])
     ext_pnb = base + top_lp[None, :]
-    if lm_logp is not None:
+    if ngram_lm is not None:
+        from tensorflowasr_tpu.utils.ngram_lm import score_candidates
+        ext_pnb = ext_pnb + score_candidates(ngram_lm, state.ctx,
+                                             ids) * lm_weight
+    elif lm_logp is not None:
         prev = jnp.maximum(state.last, 0)                        # 0 for empty
         lm = lm_logp[prev[:, None], ids] * lm_weight
         ext_pnb = ext_pnb + lm
@@ -159,6 +168,9 @@ def _step(state: BeamState, logp_t: jnp.ndarray, blank_id: int,
     new_pref = jnp.where(onehot, sel_tok[:, None], base_pref)
     new_len = base_len + extend.astype(jnp.int32)
     new_last = jnp.where(extend, sel_tok, state.last[sel_src])
+    base_ctx = state.ctx[sel_src]                                 # [W, C]
+    shifted = jnp.concatenate([base_ctx[:, 1:], sel_tok[:, None]], axis=1)
+    new_ctx = jnp.where(extend[:, None], shifted, base_ctx)
     new_h1 = jnp.where(extend,
                        state.h1[sel_src] * _P1 +
                        sel_tok.astype(jnp.uint32) + jnp.uint32(1),
@@ -167,7 +179,7 @@ def _step(state: BeamState, logp_t: jnp.ndarray, blank_id: int,
                        state.h2[sel_src] * _P2 +
                        sel_tok.astype(jnp.uint32) + jnp.uint32(1),
                        state.h2[sel_src])
-    return BeamState(new_pref, new_len, new_last, new_h1, new_h2,
+    return BeamState(new_pref, new_len, new_last, new_ctx, new_h1, new_h2,
                      sel_pb, sel_pnb)
 
 
@@ -182,6 +194,7 @@ def ctc_beam_search_decode(
         max_len: int = 0,
         lm_logp: Optional[jnp.ndarray] = None,
         lm_weight: float = 0.3,
+        ngram_lm=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched CTC prefix beam search.
 
@@ -194,6 +207,10 @@ def ctc_beam_search_decode(
       max_len: prefix capacity; 0 -> T.
       lm_logp: optional [V, V] token-bigram log probs for shallow fusion.
       lm_weight: LM interpolation weight.
+      ngram_lm: optional ``utils.ngram_lm.DeviceNGramLM`` (from
+        ``lm_pack``) — order-2..4 Kneser-Ney backoff LM scored on-chip;
+        takes precedence over ``lm_logp`` (the KenLM-scorer role of the
+        reference's externals/ctc_decoders).
 
     Returns:
       (prefixes [B, W, max_len] int32, lengths [B, W] int32,
@@ -203,14 +220,16 @@ def ctc_beam_search_decode(
     if max_len <= 0:
         max_len = t
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ctx_len = max(ngram_lm.order - 1, 1) if ngram_lm is not None else 1
+    bos = ngram_lm.bos if ngram_lm is not None else 0
 
     def one(logp_b, len_b):
-        init = _init_state(beam_width, max_len)
+        init = _init_state(beam_width, max_len, ctx_len, bos)
 
         def scan_fn(state, inp):
             lp_t, t_idx = inp
             new = _step(state, lp_t, blank_id, prune_k, max_len,
-                        lm_logp, lm_weight)
+                        lm_logp, lm_weight, ngram_lm)
             live = t_idx < len_b
             state = jax.tree.map(
                 lambda n, o: jnp.where(
