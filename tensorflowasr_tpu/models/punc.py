@@ -51,6 +51,7 @@ class PuncConfig:
             dff=mc.get("dff", 64),
             pe_input=mc.get("pe_input", 1024),
             dropout=mc.get("rate", 0.1),
+            bert_dim=mc.get("bert_dim", 768),
         )
 
 
