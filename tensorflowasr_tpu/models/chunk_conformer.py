@@ -887,24 +887,36 @@ class ChunkConformer(nn.Module):
         valid = f_idx >= (t - n_final[0])
         keep = (phone_ids != self.phone_blank) & valid
 
-        char_ids = jnp.full((t,), -1, jnp.int32)
-        prov_ids = jnp.full((max(wb, 1),), -1, jnp.int32)
-        for f in range(t):                       # static unroll, t is tiny
-            x = hidden[:, f:f + 1]               # [1, 1, d]
-            lg, prov, nf, new_dec = self.decoder_stream_step(x, dec_caches)
-            emit = keep[f] & (nf[0] > 0)
-            char_ids = char_ids.at[f].set(
-                jnp.where(emit, jnp.argmax(lg[0, 0], -1).astype(jnp.int32),
-                          -1))
+        prov_init = jnp.full((max(wb, 1),), -1, jnp.int32)
+
+        # lax.scan over the t decoder micro-steps (was a Python unroll —
+        # trace size grew with chunk_num/reduction_factor; scan keeps the
+        # program one body regardless, round-1 weak item 5)
+        def micro_step(mdl, carry, xs):
+            dec_c, prov = carry
+            x_f, keep_f = xs                     # [1, 1, d], scalar bool
+            lg, pv, nf, new_dec = mdl.decoder_stream_step(x_f, dec_c)
+            emit = keep_f & (nf[0] > 0)
+            char_id = jnp.where(
+                emit, jnp.argmax(lg[0, 0], -1).astype(jnp.int32), -1)
             if wb > 0:
                 fill = new_dec["ring_fill"][0]
-                p = jnp.argmax(prov[0], -1).astype(jnp.int32)
+                p = jnp.argmax(pv[0], -1).astype(jnp.int32)
                 slot_valid = jnp.arange(wb) >= (wb - fill)
-                prov_now = jnp.where(slot_valid, p, -1)
-                prov_ids = jnp.where(keep[f], prov_now, prov_ids)
-            dec_caches = jax.tree.map(
-                lambda new, old: jnp.where(keep[f], new, old),
-                new_dec, dec_caches)
+                prov = jnp.where(keep_f, jnp.where(slot_valid, p, -1),
+                                 prov)
+            dec_c = jax.tree.map(
+                lambda new, old: jnp.where(keep_f, new, old),
+                new_dec, dec_c)
+            return (dec_c, prov), char_id
+
+        scan = nn.scan(micro_step,
+                       variable_broadcast=("params", "batch_stats"),
+                       split_rngs={"params": False, "dropout": False},
+                       in_axes=0, out_axes=0)
+        xs = (jnp.moveaxis(hidden[:, :, None], 1, 0), keep)  # [t, 1, 1, d]
+        (dec_caches, prov_ids), char_ids = scan(
+            self, (dec_caches, prov_init), xs)
 
         out_caches = dict(new_pk)
         for k, v in dec_caches.items():
