@@ -1,0 +1,97 @@
+// Standalone (no-Python) offline ConformerCTC inference engine.
+//
+// Native counterpart of the reference's onnxruntime C++ session
+// (Inference/CppInference/onnx/src/core/asr_session.cpp) for OUR model:
+// loads the raw-tensor artifact written by
+// tensorflowasr_tpu/export/native_export.py and re-implements the exact
+// offline pipeline in portable C++:
+//   wav -> log-mel (framed DFT + Slaney mel, dB max-norm)
+//       -> ConvSubsampling -> N ConformerBlocks
+//       -> CTCDecoder -> greedy collapse
+//       -> Translator (phone embedding + cross-attention RBlocks)
+// Numerics mirror models/conformer.py + ops/frontend.py in float32
+// (parity asserted in tests/test_native_engine.py against the JAX
+// pipeline).
+#pragma once
+
+#include <map>
+#include <string>
+#include <vector>
+
+namespace asr {
+
+struct Tensor {
+  std::vector<int> shape;
+  std::vector<float> data;
+
+  int dim(int i) const { return shape[i]; }
+  long size() const {
+    long n = 1;
+    for (int d : shape) n *= d;
+    return n;
+  }
+};
+
+struct NativeConfig {
+  int dmodel = 144;
+  int reduction_factor = 4;
+  int num_blocks = 13;
+  int head_size = 36;
+  int num_heads = 4;
+  int kernel_size = 32;
+  float fc_factor = 0.5f;
+  int ctcdecoder_num_blocks = 1;
+  int ctcdecoder_kernel_size = 32;
+  float ctcdecoder_fc_factor = 0.5f;
+  int translator_num_blocks = 2;
+  int translator_kernel_size = 32;
+  float translator_fc_factor = 0.5f;
+  int sample_rate = 16000;
+  int n_mels = 80;
+  int stride_ms = 10;
+  int n_fft = 1024;
+  int num_phone_classes = 0;
+  int num_char_classes = 0;
+  std::string mel_layer_type = "Melspectrogram";
+};
+
+class NativeModel {
+ public:
+  // Loads manifest.txt + weights.bin from `artifact_dir`.
+  bool Load(const std::string& artifact_dir);
+
+  const NativeConfig& config() const { return cfg_; }
+
+  // wav [T] float32 (normalized to peak 1 by caller, matching the AM
+  // dataloader) -> encoder output [frames, dmodel].
+  Tensor Encode(const std::vector<float>& wav) const;
+
+  // encoder output -> phone logits [frames, num_phone_classes].
+  Tensor CtcLogits(const Tensor& enc) const;
+
+  // greedy CTC collapse (blank = num_phone_classes - 1).
+  std::vector<int> GreedyPhones(const Tensor& phone_logits) const;
+
+  // phone ids (will be padded with 10 zeros, as the serving pipeline
+  // does) + encoder output -> char ids [len(phone_ids) + 10].
+  std::vector<int> Translate(const std::vector<int>& phone_ids,
+                             const Tensor& enc) const;
+
+  bool has(const std::string& name) const {
+    return tensors_.count(name) > 0;
+  }
+  const Tensor& get(const std::string& name) const;
+
+ private:
+  Tensor LogMel(const std::vector<float>& wav) const;
+  Tensor ConvSubsampling(const Tensor& mel) const;
+  // in-place conformer block under param prefix (params/<prefix>/...).
+  void ConformerBlockFwd(Tensor* x, const std::string& prefix,
+                         int kernel_size, float fc_factor,
+                         const Tensor* cross_enc) const;
+
+  NativeConfig cfg_;
+  std::map<std::string, Tensor> tensors_;
+};
+
+}  // namespace asr

@@ -1,0 +1,504 @@
+#include "native_model.h"
+
+#include <cmath>
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <sstream>
+
+namespace asr {
+namespace {
+
+constexpr float kLnEps = 1e-6f;   // flax LayerNorm default
+constexpr float kBnEps = 1e-5f;   // flax BatchNorm default
+
+inline float Sigmoid(float x) { return 1.0f / (1.0f + std::exp(-x)); }
+inline float Swish(float x) { return x * Sigmoid(x); }
+
+// y[m,n] = x[m,k] * w[k,n] (+= when accumulate)
+void MatMul(const float* x, const float* w, float* y, int m, int k, int n) {
+  std::memset(y, 0, sizeof(float) * m * n);
+  for (int i = 0; i < m; ++i) {
+    const float* xi = x + i * k;
+    float* yi = y + i * n;
+    for (int p = 0; p < k; ++p) {
+      const float v = xi[p];
+      if (v == 0.0f) continue;
+      const float* wp = w + p * n;
+      for (int j = 0; j < n; ++j) yi[j] += v * wp[j];
+    }
+  }
+}
+
+Tensor Dense(const Tensor& x, const Tensor& kernel, const Tensor& bias) {
+  const int m = x.size() / x.shape.back();
+  const int k = x.shape.back();
+  const int n = kernel.shape.back();
+  Tensor y;
+  y.shape = x.shape;
+  y.shape.back() = n;
+  y.data.resize((long)m * n);
+  MatMul(x.data.data(), kernel.data.data(), y.data.data(), m, k, n);
+  for (int i = 0; i < m; ++i)
+    for (int j = 0; j < n; ++j) y.data[(long)i * n + j] += bias.data[j];
+  return y;
+}
+
+// LayerNorm over the last axis, float32 (flax nn.LayerNorm).
+void LayerNormIp(Tensor* x, const Tensor& scale, const Tensor& bias) {
+  const int d = x->shape.back();
+  const int m = x->size() / d;
+  for (int i = 0; i < m; ++i) {
+    float* row = x->data.data() + (long)i * d;
+    double mean = 0, sq = 0;
+    for (int j = 0; j < d; ++j) mean += row[j];
+    mean /= d;
+    for (int j = 0; j < d; ++j) {
+      const double c = row[j] - mean;
+      sq += c * c;
+    }
+    const float inv = 1.0f / std::sqrt((float)(sq / d) + kLnEps);
+    for (int j = 0; j < d; ++j)
+      row[j] = ((float)(row[j] - mean)) * inv * scale.data[j] +
+               bias.data[j];
+  }
+}
+
+void SoftmaxRow(float* row, int n) {
+  float mx = row[0];
+  for (int i = 1; i < n; ++i) mx = std::max(mx, row[i]);
+  double sum = 0;
+  for (int i = 0; i < n; ++i) {
+    row[i] = std::exp(row[i] - mx);
+    sum += row[i];
+  }
+  const float inv = (float)(1.0 / sum);
+  for (int i = 0; i < n; ++i) row[i] *= inv;
+}
+
+// Keras/TF 'SAME' padding amounts.
+void SamePad(int in, int k, int s, int* lo, int* hi) {
+  const int out = (in + s - 1) / s;
+  const int pad = std::max((out - 1) * s + k - in, 0);
+  *lo = pad / 2;
+  *hi = pad - pad / 2;
+}
+
+}  // namespace
+
+const Tensor& NativeModel::get(const std::string& name) const {
+  auto it = tensors_.find(name);
+  if (it == tensors_.end()) {
+    std::fprintf(stderr, "native_model: missing tensor %s\n", name.c_str());
+    static Tensor empty;
+    return empty;
+  }
+  return it->second;
+}
+
+bool NativeModel::Load(const std::string& dir) {
+  std::ifstream mf(dir + "/manifest.txt");
+  if (!mf) return false;
+  std::ifstream wf(dir + "/weights.bin", std::ios::binary);
+  if (!wf) return false;
+
+  std::string line;
+  while (std::getline(mf, line)) {
+    std::istringstream ss(line);
+    std::string kind;
+    ss >> kind;
+    if (kind == "config") {
+      std::string key, value;
+      ss >> key >> value;
+      if (key == "dmodel") cfg_.dmodel = std::stoi(value);
+      else if (key == "reduction_factor")
+        cfg_.reduction_factor = std::stoi(value);
+      else if (key == "num_blocks") cfg_.num_blocks = std::stoi(value);
+      else if (key == "head_size") cfg_.head_size = std::stoi(value);
+      else if (key == "num_heads") cfg_.num_heads = std::stoi(value);
+      else if (key == "kernel_size") cfg_.kernel_size = std::stoi(value);
+      else if (key == "fc_factor") cfg_.fc_factor = std::stof(value);
+      else if (key == "ctcdecoder_num_blocks")
+        cfg_.ctcdecoder_num_blocks = std::stoi(value);
+      else if (key == "ctcdecoder_kernel_size")
+        cfg_.ctcdecoder_kernel_size = std::stoi(value);
+      else if (key == "ctcdecoder_fc_factor")
+        cfg_.ctcdecoder_fc_factor = std::stof(value);
+      else if (key == "translator_num_blocks")
+        cfg_.translator_num_blocks = std::stoi(value);
+      else if (key == "translator_kernel_size")
+        cfg_.translator_kernel_size = std::stoi(value);
+      else if (key == "translator_fc_factor")
+        cfg_.translator_fc_factor = std::stof(value);
+      else if (key == "sample_rate") cfg_.sample_rate = std::stoi(value);
+      else if (key == "n_mels") cfg_.n_mels = std::stoi(value);
+      else if (key == "stride_ms") cfg_.stride_ms = std::stoi(value);
+      else if (key == "n_fft") cfg_.n_fft = std::stoi(value);
+      else if (key == "num_phone_classes")
+        cfg_.num_phone_classes = std::stoi(value);
+      else if (key == "num_char_classes")
+        cfg_.num_char_classes = std::stoi(value);
+      else if (key == "mel_layer_type") cfg_.mel_layer_type = value;
+    } else if (kind == "tensor") {
+      std::string name;
+      long offset;
+      int ndim;
+      ss >> name >> offset >> ndim;
+      Tensor t;
+      long n = 1;
+      for (int i = 0; i < ndim; ++i) {
+        int d;
+        ss >> d;
+        t.shape.push_back(d);
+        n *= d;
+      }
+      if (ndim == 0) t.shape.push_back(1), n = 1;
+      t.data.resize(n);
+      wf.seekg(offset);
+      wf.read(reinterpret_cast<char*>(t.data.data()), n * sizeof(float));
+      if (!wf) return false;
+      tensors_.emplace(std::move(name), std::move(t));
+    }
+  }
+  return cfg_.num_phone_classes > 0;
+}
+
+// -- frontend ---------------------------------------------------------------
+
+Tensor NativeModel::LogMel(const std::vector<float>& wav) const {
+  const int n_fft = cfg_.n_fft;
+  const int hop = cfg_.sample_rate * cfg_.stride_ms / 1000;
+  const int n_freq = n_fft / 2 + 1;
+  const int t = (int)wav.size();
+  const int frames = (t + hop - 1) / hop;
+  int lo, hi;
+  SamePad(t, n_fft, hop, &lo, &hi);
+
+  // frame -> windowed DFT matmul (ops/frontend.py power_spectrogram)
+  const Tensor& dft = get("frontend/dft");       // [n_fft, 2*n_freq]
+  std::vector<float> frame(n_fft);
+  Tensor power;
+  power.shape = {frames, n_freq};
+  power.data.resize((long)frames * n_freq);
+  std::vector<float> spec(2 * n_freq);
+  for (int f = 0; f < frames; ++f) {
+    const int start = f * hop - lo;
+    for (int i = 0; i < n_fft; ++i) {
+      const int s = start + i;
+      frame[i] = (s >= 0 && s < t) ? wav[s] : 0.0f;
+    }
+    MatMul(frame.data(), dft.data.data(), spec.data(), 1, n_fft,
+           2 * n_freq);
+    for (int j = 0; j < n_freq; ++j) {
+      const float re = spec[j], im = spec[n_freq + j];
+      power.data[(long)f * n_freq + j] = re * re + im * im;
+    }
+  }
+
+  // dB with per-utterance max-norm, floor -80 (amplitude_to_db)
+  const float ln10 = std::log(10.0f);
+  float mx = -1e30f;
+  for (auto& v : power.data) {
+    v = 10.0f * std::log(std::max(v, 1e-10f)) / ln10;
+    mx = std::max(mx, v);
+  }
+  for (auto& v : power.data) v = std::max(v - mx, -80.0f);
+
+  if (cfg_.mel_layer_type == "Spectrogram") return power;
+
+  const Tensor& fb = get("frontend/freq2mel");   // [n_freq, n_mels]
+  Tensor mel;
+  mel.shape = {frames, cfg_.n_mels};
+  mel.data.resize((long)frames * cfg_.n_mels);
+  MatMul(power.data.data(), fb.data.data(), mel.data.data(), frames,
+         n_freq, cfg_.n_mels);
+  return mel;
+}
+
+// -- conv subsampling -------------------------------------------------------
+
+namespace {
+
+// x [T, F, Cin] -> conv2d 3x3 stride (st, sf) SAME + relu, kernel
+// [3, 3, Cin, Cout] (flax nn.Conv layout).
+Tensor Conv2dSameRelu(const Tensor& x, const Tensor& kernel,
+                      const Tensor& bias, int st, int sf) {
+  const int t = x.dim(0), f = x.dim(1), cin = x.dim(2);
+  const int kh = kernel.dim(0), kw = kernel.dim(1);
+  const int cout = kernel.dim(3);
+  int tlo, thi, flo, fhi;
+  SamePad(t, kh, st, &tlo, &thi);
+  SamePad(f, kw, sf, &flo, &fhi);
+  const int ot = (t + st - 1) / st, of = (f + sf - 1) / sf;
+  Tensor y;
+  y.shape = {ot, of, cout};
+  y.data.assign((long)ot * of * cout, 0.0f);
+  for (int i = 0; i < ot; ++i) {
+    for (int j = 0; j < of; ++j) {
+      float* out = y.data.data() + ((long)i * of + j) * cout;
+      for (int a = 0; a < kh; ++a) {
+        const int ti = i * st - tlo + a;
+        if (ti < 0 || ti >= t) continue;
+        for (int b = 0; b < kw; ++b) {
+          const int fj = j * sf - flo + b;
+          if (fj < 0 || fj >= f) continue;
+          const float* xin = x.data.data() + ((long)ti * f + fj) * cin;
+          const float* w = kernel.data.data() +
+                           (((long)a * kw + b) * cin) * cout;
+          for (int ci = 0; ci < cin; ++ci)
+            for (int co = 0; co < cout; ++co)
+              out[co] += xin[ci] * w[ci * cout + co];
+        }
+      }
+      for (int co = 0; co < cout; ++co)
+        out[co] = std::max(out[co] + bias.data[co], 0.0f);
+    }
+  }
+  return y;
+}
+
+}  // namespace
+
+Tensor NativeModel::ConvSubsampling(const Tensor& mel) const {
+  // [T, n_mels] -> [T, n_mels, 1]
+  Tensor x = mel;
+  x.shape = {mel.dim(0), mel.dim(1), 1};
+  const std::string p = "params/encoder/conv_subsampling/";
+  x = Conv2dSameRelu(x, get(p + "conv1/kernel"), get(p + "conv1/bias"),
+                     cfg_.reduction_factor / 2, 2);
+  x = Conv2dSameRelu(x, get(p + "conv2/kernel"), get(p + "conv2/bias"),
+                     2, 2);
+  const int t = x.dim(0);
+  x.shape = {t, x.dim(1) * x.dim(2)};
+  return Dense(x, get(p + "linear/kernel"), get(p + "linear/bias"));
+}
+
+// -- conformer block --------------------------------------------------------
+
+void NativeModel::ConformerBlockFwd(Tensor* x, const std::string& prefix,
+                                    int kernel_size, float fc_factor,
+                                    const Tensor* cross_enc) const {
+  const std::string p = "params/" + prefix + "/";
+  const int d = x->shape.back();
+  const int t = x->size() / d;
+
+  auto ff = [&](const std::string& mod) {
+    Tensor y = *x;
+    LayerNormIp(&y, get(p + mod + "/ln/scale"), get(p + mod + "/ln/bias"));
+    y = Dense(y, get(p + mod + "/ffn1/kernel"), get(p + mod + "/ffn1/bias"));
+    for (auto& v : y.data) v = Swish(v);
+    y = Dense(y, get(p + mod + "/ffn2/kernel"), get(p + mod + "/ffn2/bias"));
+    for (long i = 0; i < x->size(); ++i)
+      x->data[i] += fc_factor * y.data[i];
+  };
+
+  ff("ff_module_1");
+
+  // MHSA (self) or RMHSA (PE + cross-attention, Translator blocks)
+  {
+    const bool cross = cross_enc != nullptr;
+    const std::string mod = cross ? "rmhsa" : "mhsa";
+    Tensor y = *x;
+    if (cross) {
+      // interleaved sin/cos positional encoding (layers.py:212-231)
+      for (int i = 0; i < t; ++i)
+        for (int j = 0; j < d; ++j) {
+          const double angle =
+              i / std::pow(10000.0, (2.0 * (j / 2)) / (double)d);
+          y.data[(long)i * d + j] +=
+              (j % 2 == 0) ? (float)std::sin(angle)
+                           : (float)std::cos(angle);
+        }
+    }
+    LayerNormIp(&y, get(p + mod + "/ln/scale"), get(p + mod + "/ln/bias"));
+    const Tensor& kv = cross ? *cross_enc : y;
+    const int tk = kv.size() / kv.shape.back();
+    const int h = cfg_.num_heads, hs = cfg_.head_size;
+    const std::string a = p + mod + "/mha/";
+    // q/k/v projections: kernel [d, h, hs] == dense to h*hs
+    auto proj = [&](const Tensor& inp, const char* name) {
+      Tensor kern = get(a + name + "/kernel");
+      Tensor bias = get(a + name + "/bias");
+      Tensor k2;
+      k2.shape = {kern.dim(0), kern.dim(1) * kern.dim(2)};
+      k2.data = kern.data;
+      Tensor b2;
+      b2.shape = {bias.dim(0) * bias.dim(1)};
+      b2.data = bias.data;
+      return Dense(inp, k2, b2);                 // [*, h*hs]
+    };
+    Tensor q = proj(y, "query"), k = proj(kv, "key"), v = proj(kv, "value");
+    const float scale = 1.0f / std::sqrt((float)hs);
+    Tensor ctx;
+    ctx.shape = {t, h * hs};
+    ctx.data.assign((long)t * h * hs, 0.0f);
+    std::vector<float> scores(tk);
+    for (int head = 0; head < h; ++head) {
+      for (int i = 0; i < t; ++i) {
+        const float* qi = q.data.data() + (long)i * h * hs + head * hs;
+        for (int j = 0; j < tk; ++j) {
+          const float* kj = k.data.data() + (long)j * h * hs + head * hs;
+          float s = 0;
+          for (int e = 0; e < hs; ++e) s += qi[e] * kj[e];
+          scores[j] = s * scale;
+        }
+        SoftmaxRow(scores.data(), tk);
+        float* out = ctx.data.data() + (long)i * h * hs + head * hs;
+        for (int j = 0; j < tk; ++j) {
+          const float w = scores[j];
+          const float* vj = v.data.data() + (long)j * h * hs + head * hs;
+          for (int e = 0; e < hs; ++e) out[e] += w * vj[e];
+        }
+      }
+    }
+    // out projection: kernel [h, hs, d]
+    Tensor ok = get(a + "out/kernel");
+    Tensor ok2;
+    ok2.shape = {ok.dim(0) * ok.dim(1), ok.dim(2)};
+    ok2.data = ok.data;
+    Tensor o = Dense(ctx, ok2, get(a + "out/bias"));
+    for (long i = 0; i < x->size(); ++i) x->data[i] += o.data[i];
+  }
+
+  // conv module
+  {
+    const std::string m = p + "conv_module/";
+    Tensor y = *x;
+    LayerNormIp(&y, get(m + "ln/scale"), get(m + "ln/bias"));
+    y = Dense(y, get(m + "pw_conv_1/kernel"), get(m + "pw_conv_1/bias"));
+    // GLU: first half * sigmoid(second half)
+    {
+      Tensor g;
+      g.shape = {t, d};
+      g.data.resize((long)t * d);
+      for (int i = 0; i < t; ++i)
+        for (int j = 0; j < d; ++j)
+          g.data[(long)i * d + j] =
+              y.data[(long)i * 2 * d + j] *
+              Sigmoid(y.data[(long)i * 2 * d + d + j]);
+      y = std::move(g);
+    }
+    // depthwise conv over time, kernel [k, 1, d], SAME
+    {
+      const Tensor& kern = get(m + "dw_conv/kernel");
+      const Tensor& bias = get(m + "dw_conv/bias");
+      const int k = kern.dim(0);
+      int lo, hi;
+      SamePad(t, k, 1, &lo, &hi);
+      (void)hi;
+      Tensor z;
+      z.shape = {t, d};
+      z.data.assign((long)t * d, 0.0f);
+      for (int i = 0; i < t; ++i) {
+        float* zi = z.data.data() + (long)i * d;
+        for (int a2 = 0; a2 < k; ++a2) {
+          const int ti = i - lo + a2;
+          if (ti < 0 || ti >= t) continue;
+          const float* yi = y.data.data() + (long)ti * d;
+          const float* w = kern.data.data() + (long)a2 * d;
+          for (int j = 0; j < d; ++j) zi[j] += yi[j] * w[j];
+        }
+        for (int j = 0; j < d; ++j) zi[j] += bias.data[j];
+      }
+      y = std::move(z);
+    }
+    y = Dense(y, get(m + "dw_pw/kernel"), get(m + "dw_pw/bias"));
+    // BatchNorm (inference: running stats)
+    {
+      const std::string bs = "batch_stats/" + prefix + "/conv_module/bn/";
+      const Tensor& mean = get(bs + "mean");
+      const Tensor& var = get(bs + "var");
+      const Tensor& scale = get(m + "bn/scale");
+      const Tensor& bias = get(m + "bn/bias");
+      const int n = y.shape.back();
+      for (int i = 0; i < t; ++i)
+        for (int j = 0; j < n; ++j) {
+          float& v = y.data[(long)i * n + j];
+          v = (v - mean.data[j]) /
+                  std::sqrt(var.data[j] + kBnEps) * scale.data[j] +
+              bias.data[j];
+          v = Swish(v);
+        }
+    }
+    y = Dense(y, get(m + "pw_conv_2/kernel"), get(m + "pw_conv_2/bias"));
+    for (long i = 0; i < x->size(); ++i) x->data[i] += y.data[i];
+  }
+
+  ff("ff_module_2");
+  LayerNormIp(x, get(p + "ln/scale"), get(p + "ln/bias"));
+}
+
+// -- public pipeline --------------------------------------------------------
+
+Tensor NativeModel::Encode(const std::vector<float>& wav) const {
+  Tensor mel = LogMel(wav);
+  Tensor x = ConvSubsampling(mel);
+  for (int i = 0; i < cfg_.num_blocks; ++i)
+    ConformerBlockFwd(&x,
+                      "encoder/conformer_block_" + std::to_string(i),
+                      cfg_.kernel_size, cfg_.fc_factor, nullptr);
+  return x;
+}
+
+Tensor NativeModel::CtcLogits(const Tensor& enc) const {
+  const std::string p = "params/ctc_decoder/";
+  Tensor x = Dense(enc, get(p + "project/kernel"), get(p + "project/bias"));
+  for (int i = 0; i < cfg_.ctcdecoder_num_blocks; ++i)
+    ConformerBlockFwd(
+        &x, "ctc_decoder/decoder_conformer_block_" + std::to_string(i),
+        cfg_.ctcdecoder_kernel_size, cfg_.ctcdecoder_fc_factor, nullptr);
+  return Dense(x, get(p + "fully_connected/kernel"),
+               get(p + "fully_connected/bias"));
+}
+
+std::vector<int> NativeModel::GreedyPhones(const Tensor& logits) const {
+  const int t = logits.dim(0), v = logits.dim(1);
+  const int blank = cfg_.num_phone_classes - 1;
+  std::vector<int> out;
+  int prev = -1;
+  for (int i = 0; i < t; ++i) {
+    const float* row = logits.data.data() + (long)i * v;
+    int best = 0;
+    for (int j = 1; j < v; ++j)
+      if (row[j] > row[best]) best = j;
+    if (best != prev && best != blank) out.push_back(best);
+    prev = best;
+  }
+  return out;
+}
+
+std::vector<int> NativeModel::Translate(const std::vector<int>& phone_ids,
+                                        const Tensor& enc) const {
+  // serving pads decoded phones with 10 zeros (asr_trainer.py:163-170)
+  std::vector<int> ids = phone_ids;
+  for (int i = 0; i < 10; ++i) ids.push_back(0);
+  const std::string p = "params/translator/";
+  const Tensor& emb = get(p + "inp_embedding/embedding");  // [Vp, d]
+  const int d = emb.dim(1);
+  Tensor x;
+  x.shape = {(int)ids.size(), d};
+  x.data.resize((long)ids.size() * d);
+  for (size_t i = 0; i < ids.size(); ++i) {
+    const int id = std::max(0, std::min(ids[i], emb.dim(0) - 1));
+    std::memcpy(x.data.data() + i * d, emb.data.data() + (long)id * d,
+                sizeof(float) * d);
+  }
+  for (int i = 0; i < cfg_.translator_num_blocks; ++i)
+    ConformerBlockFwd(
+        &x, "translator/decoder_conformer_block_" + std::to_string(i),
+        cfg_.translator_kernel_size, cfg_.translator_fc_factor, &enc);
+  Tensor logits = Dense(x, get(p + "fully_connected/kernel"),
+                        get(p + "fully_connected/bias"));
+  const int v = logits.dim(1);
+  std::vector<int> out;
+  for (int i = 0; i < logits.dim(0); ++i) {
+    const float* row = logits.data.data() + (long)i * v;
+    int best = 0;
+    for (int j = 1; j < v; ++j)
+      if (row[j] > row[best]) best = j;
+    out.push_back(best);
+  }
+  return out;
+}
+
+}  // namespace asr

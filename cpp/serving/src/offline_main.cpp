@@ -1,0 +1,90 @@
+// Standalone offline decode: NO model server, NO Python — the native
+// engine loads the raw-tensor artifact and runs the whole pipeline
+// in-process (the capability of the reference's
+// Inference/CppInference/onnx runner, re-hosted on our native engine).
+//
+// Usage: asr_offline <artifact_dir> <wav> [--dump <logits.bin>]
+//   artifact_dir: output of tensorflowasr_tpu.export.native_export
+//                 (weights.bin + manifest.txt [+ phones.txt chars.txt])
+//   --dump:       also write phone logits as int32 t,v header + float32
+//                 payload (used by tests/test_native_engine.py parity)
+#include <cmath>
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <string>
+#include <vector>
+
+#include "native_model.h"
+#include "tokener.h"
+#include "wav_reader.h"
+
+int main(int argc, char** argv) {
+  if (argc < 3) {
+    std::fprintf(stderr,
+                 "usage: %s <artifact_dir> <wav> [--dump <logits.bin>]\n",
+                 argv[0]);
+    return 2;
+  }
+  const std::string dir = argv[1];
+  std::string dump_path;
+  for (int i = 3; i + 1 < argc; ++i)
+    if (std::strcmp(argv[i], "--dump") == 0) dump_path = argv[i + 1];
+
+  asr::NativeModel model;
+  if (!model.Load(dir)) {
+    std::fprintf(stderr, "failed to load artifact %s\n", dir.c_str());
+    return 1;
+  }
+  asr::WavData wav;
+  if (!asr::ReadWav(argv[2], &wav)) {
+    std::fprintf(stderr, "failed to read wav %s\n", argv[2]);
+    return 1;
+  }
+  if (wav.sample_rate != model.config().sample_rate) {
+    std::fprintf(stderr, "wav rate %d != model rate %d\n", wav.sample_rate,
+                 model.config().sample_rate);
+    return 1;
+  }
+  // peak normalization, as the AM dataloader does before inference
+  float peak = 0.0f;
+  for (float v : wav.samples) peak = std::max(peak, std::fabs(v));
+  if (peak > 0)
+    for (float& v : wav.samples) v /= peak;
+
+  asr::Tensor enc = model.Encode(wav.samples);
+  asr::Tensor logits = model.CtcLogits(enc);
+  if (!dump_path.empty()) {
+    std::ofstream f(dump_path, std::ios::binary);
+    int hdr[2] = {logits.dim(0), logits.dim(1)};
+    f.write(reinterpret_cast<char*>(hdr), sizeof(hdr));
+    f.write(reinterpret_cast<const char*>(logits.data.data()),
+            logits.size() * sizeof(float));
+  }
+  std::vector<int> phones = model.GreedyPhones(logits);
+  std::vector<int> chars = model.Translate(phones, enc);
+
+  std::printf("phone_ids:");
+  for (int id : phones) std::printf(" %d", id);
+  std::printf("\n");
+  std::printf("char_ids:");
+  for (int id : chars) std::printf(" %d", id);
+  std::printf("\n");
+
+  asr::Tokener phone_tok, char_tok;
+  if (phone_tok.Load(dir + "/phones.txt", false)) {
+    std::printf("phones:");
+    for (int id : phones) std::printf(" %s", phone_tok.Token(id).c_str());
+    std::printf("\n");
+  }
+  if (char_tok.Load(dir + "/chars.txt", false)) {
+    std::string text;
+    const int end_id = char_tok.EndId();
+    for (size_t i = 0; i < phones.size() && i < chars.size(); ++i) {
+      if (chars[i] == end_id) break;
+      text += char_tok.Token(chars[i]);
+    }
+    std::printf("text: %s\n", text.c_str());
+  }
+  return 0;
+}

@@ -20,6 +20,10 @@ from tensorflowasr_tpu.cli.common import (
 def main(argv=None) -> int:
     parser = config_parser(__doc__)
     parser.add_argument("--wav", required=True, help="wav file to decode")
+    parser.add_argument("--export_native", default=None, metavar="DIR",
+                        help="also write the raw-tensor artifact for the "
+                             "standalone C++ engine (cpp/serving "
+                             "asr_offline) to DIR")
     args = parser.parse_args(argv)
     config = load_config(args)
     phone_f, char_f, _, _, _ = build_featurizers(config)
@@ -52,6 +56,18 @@ def main(argv=None) -> int:
     if not trainer.restore():
         print("warning: no checkpoint found; decoding with random init",
               file=sys.stderr)
+
+    if args.export_native:
+        from tensorflowasr_tpu.export.native_export import export_native
+
+        variables = {"params": trainer.state.params}
+        if trainer.state.batch_stats is not None:
+            variables["batch_stats"] = trainer.state.batch_stats
+        export_native(
+            trainer.model, variables, args.export_native,
+            phone_vocab=(config.section("inp_config") or {})["vocabulary"],
+            char_vocab=(config.section("tar_config") or {})["vocabulary"])
+        print(f"native artifact written to {args.export_native}")
 
     wav_j = jnp.asarray(padded[None, :])
     len_j = jnp.asarray([in_len], jnp.int32)
