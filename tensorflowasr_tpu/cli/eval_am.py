@@ -17,6 +17,12 @@ from tensorflowasr_tpu.cli.common import (
 def main(argv=None) -> int:
     parser = config_parser(__doc__)
     parser.add_argument("--max_batches", type=int, default=None)
+    parser.add_argument("--lm", default=None,
+                        help="n-gram LM .npz (cli/train_lm) -> decode with "
+                             "on-chip beam search + shallow fusion instead "
+                             "of greedy (offline model only)")
+    parser.add_argument("--lm_weight", type=float, default=0.3)
+    parser.add_argument("--beam_width", type=int, default=8)
     args = parser.parse_args(argv)
     config = load_config(args)
     phone_f, char_f, p2p, pin, pinyin_txt = build_featurizers(config)
@@ -54,6 +60,16 @@ def main(argv=None) -> int:
         if not trainer.restore():
             print("warning: no checkpoint found; evaluating random init",
                   file=sys.stderr)
+        if args.lm:
+            from tensorflowasr_tpu.train.asr_trainer import (
+                make_beam_predict_step)
+            from tensorflowasr_tpu.utils.ngram_lm import NGramLM, lm_pack
+
+            lm = lm_pack(NGramLM.load(args.lm))
+            trainer.predict_step = make_beam_predict_step(
+                trainer.model, blank_id=phone_f.blank,
+                beam_width=args.beam_width, ngram_lm=lm,
+                lm_weight=args.lm_weight)
         tester = AMTester(trainer, char_end_id=char_f.endid())
         result = tester.run(dl.generator(train=False),
                             max_batches=args.max_batches)

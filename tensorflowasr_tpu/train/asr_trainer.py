@@ -178,10 +178,13 @@ def make_predict_step(model: ConformerCTC, blank_id: int) -> Callable:
 
 
 def make_beam_predict_step(model: ConformerCTC, blank_id: int,
-                           beam_width: int = 8) -> Callable:
+                           beam_width: int = 8, ngram_lm=None,
+                           lm_weight: float = 0.3) -> Callable:
     """(state, wav, input_length) -> (phone ids, phone lens, char ids)
     using on-chip CTC prefix beam search instead of greedy (the
-    ctc_decoders C++ beam path of the reference; inp_config.beam_width)."""
+    ctc_decoders C++ beam path of the reference; inp_config.beam_width).
+    ``ngram_lm``: a ``utils.ngram_lm.DeviceNGramLM`` for on-chip
+    shallow fusion (the reference's KenLM scorer role)."""
     from tensorflowasr_tpu.ops.beam import ctc_beam_search_decode
 
     def step(state: ASRTrainState, wav, input_length):
@@ -193,7 +196,8 @@ def make_beam_predict_step(model: ConformerCTC, blank_id: int,
         prefixes, lens, scores = ctc_beam_search_decode(
             logits, input_length, blank_id=blank_id,
             beam_width=beam_width,
-            prune_k=min(16, logits.shape[-1]))
+            prune_k=min(16, logits.shape[-1]),
+            ngram_lm=ngram_lm, lm_weight=lm_weight)
         phone_ids = prefixes[:, 0]
         phone_lens = lens[:, 0]
         padded = jnp.concatenate(

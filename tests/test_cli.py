@@ -101,3 +101,19 @@ def test_train_eval_test_asr_cli(configs, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "RTF" in out and "phones:" in out
+
+    # beam decode with on-chip n-gram shallow fusion: train the LM from
+    # the same list, then eval_am --lm
+    from tensorflowasr_tpu.cli.train_lm import main as lm_main
+
+    lm_path = str(tmp_path / "lm.npz")
+    rc = lm_main(["--data_config", data_yml, "--model_config", model_yml,
+                  "--unit", "phone", "--order", "3", "--output", lm_path])
+    assert rc == 0
+    capsys.readouterr()
+    rc = eval_main(["--data_config", data_yml, "--model_config", model_yml,
+                    "--max_batches", "1", "--compute_dtype", "float32",
+                    "--lm", lm_path, "--lm_weight", "0.3"])
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "phone_cer" in str(result)
