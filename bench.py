@@ -218,13 +218,24 @@ def bench_train_step():
 
 
 def main():
+    import jax
+
+    t0 = time.perf_counter()
+    print(f"bench: devices={jax.devices()} "
+          f"(init {time.perf_counter() - t0:.1f}s)", file=sys.stderr,
+          flush=True)
     for fn in (bench_offline_inference, bench_chunk_stream,
                bench_train_step):
+        t0 = time.perf_counter()
+        print(f"bench: {fn.__name__} ...", file=sys.stderr, flush=True)
         try:
             fn()
         except Exception as e:  # keep the other metrics flowing
             print(f"bench section {fn.__name__} failed: {e!r}",
                   file=sys.stderr, flush=True)
+        print(f"bench: {fn.__name__} done in "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr,
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -69,7 +69,13 @@ def main(argv=None) -> int:
                         "<data_dir>/transcript/aishell_transcript_v0.8.txt)")
     p.add_argument("--lexicon", default=None,
                    help="char<TAB>pinyin TSV: pre-convert transcripts to "
-                        "toned pinyin (no pypinyin needed at train time)")
+                        "toned pinyin (no pypinyin needed at train time; "
+                        "the translate target becomes pinyin tokens)")
+    p.add_argument("--train_time_lexicon", default=None,
+                   help="char<TAB>pinyin TSV consulted AT TRAIN TIME "
+                        "(speech_config.pinyin_lexicon): transcripts stay "
+                        "hanzi, the translate target stays characters — "
+                        "the real AISHELL task without pypinyin")
     p.add_argument("--min_char_count", type=int, default=1)
     args = p.parse_args(argv)
 
@@ -125,7 +131,8 @@ def main(argv=None) -> int:
 
     cfg_out = os.path.join(args.out_dir, "am_data.yml")
     write_data_config(cfg_out, args.out_dir,
-                      transcripts_are_pinyin=pin is not None)
+                      transcripts_are_pinyin=pin is not None,
+                      pinyin_lexicon=args.train_time_lexicon)
     print(f"data config -> {cfg_out}")
     print("train: python train_asr.py --data_config "
           f"{cfg_out} --model_config configs/conformerS.yml")
@@ -133,11 +140,14 @@ def main(argv=None) -> int:
 
 
 def write_data_config(path: str, out_dir: str,
-                      transcripts_are_pinyin: bool) -> None:
+                      transcripts_are_pinyin: bool,
+                      pinyin_lexicon: str = None) -> None:
     """am_data.yml with absolute paths into out_dir; hyperparameters mirror
     the reference's aishell-1 50-epoch ConformerCTC(S) setup
     (asr/configs/am_data.yml + README.md:168-172)."""
     a = os.path.abspath
+    lex_line = (f"\n  pinyin_lexicon: {a(pinyin_lexicon)}"
+                if pinyin_lexicon else "")
     yml = f"""# generated by examples/aishell1/prepare.py
 speech_config:
   mel_layer_type: Melspectrogram
@@ -155,7 +165,7 @@ speech_config:
   streaming: false
   streaming_bucket: 0.5
   pinyin_map: {a(os.path.join(out_dir, 'pinyin2phone.map'))}
-  transcripts_are_pinyin: {'true' if transcripts_are_pinyin else 'false'}
+  transcripts_are_pinyin: {'true' if transcripts_are_pinyin else 'false'}{lex_line}
 
 inp_config:
   vocabulary: {a(os.path.join(out_dir, 'phones.txt'))}
