@@ -59,8 +59,11 @@ def bench_offline_inference():
     variables = model.init(jax.random.PRNGKey(0), wav[:1],
                            jnp.ones((1, 8), jnp.int32))
 
+    # variables as ARGUMENTS, not closure constants: embedding them as
+    # constants makes lowering fetch every weight device->host, which is
+    # slow (and fragile) when the chip sits behind a network tunnel
     @jax.jit
-    def pipeline(wav, input_length):
+    def pipeline(variables, wav, input_length):
         enc = model.apply(variables, wav, method=ConformerCTC.encode)
         logits = model.apply(variables, enc, method=ConformerCTC.ctc_logits)
         phone_ids, phone_lens = ctc_greedy_decode(logits, input_length,
@@ -70,10 +73,17 @@ def bench_offline_inference():
                                   phone_ids.dtype)], axis=1)
         char_logits = model.apply(variables, padded, enc,
                                   method=ConformerCTC.translate)
-        return phone_ids, phone_lens, jnp.argmax(char_logits, -1)
+        # scalar outputs: the benchmark times COMPUTE; returning the full
+        # id tensors from every queued dispatch clogs the tunnel's result
+        # path (and block_until_ready over the tunnel is unreliable, so
+        # completion is forced by fetching these scalars)
+        return (jnp.sum(phone_ids), jnp.sum(phone_lens),
+                jnp.sum(jnp.argmax(char_logits, -1)))
 
-    out = pipeline(wav, input_length)
-    jax.block_until_ready(out)
+    variables = jax.device_put(variables)
+    out = pipeline(variables, wav, input_length)
+    print(f"bench: offline warmup sum={int(out[1])}", file=sys.stderr,
+          flush=True)
 
     # best of 3 repetitions of 20 pipelined iterations — one-off tunnel
     # hiccups otherwise dominate the measurement
@@ -82,8 +92,8 @@ def bench_offline_inference():
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = pipeline(wav, input_length)
-        jax.block_until_ready(out)
+            out = pipeline(variables, wav, input_length)
+        int(out[1])           # forces the whole in-order queue to drain
         best = min(best, (time.perf_counter() - t0) / iters)
 
     rtf = best / audio_seconds
@@ -130,7 +140,7 @@ def bench_chunk_stream():
     caches = model.apply(variables, 1,
                          method=ChunkConformer.init_stream_caches)
     packed, caches = step(variables, chunk, caches)   # compile
-    jax.block_until_ready(packed)
+    np.asarray(packed)
 
     chunk_s = cfg.chunk_samples / cfg.sample_rate     # 0.16 s
 
@@ -144,7 +154,7 @@ def bench_chunk_stream():
         t0 = time.perf_counter()
         for _ in range(n_chunks):
             packed, c = step(variables, chunk, c)
-        jax.block_until_ready(packed)
+        np.asarray(packed)    # cache chain => all chunks done
         best = min(best, (time.perf_counter() - t0) / n_chunks)
     _emit("chunk_stream_rtf", best / chunk_s, "rtf_per_stream",
           0.1 / (best / chunk_s))
@@ -201,7 +211,7 @@ def bench_train_step():
 
     step = make_train_step(model, tx, blank_id=n_phone - 1, donate=True)
     state, metrics = step(state, batch, jax.random.PRNGKey(1))  # compile
-    jax.block_until_ready(metrics)
+    float(metrics["train_loss"])
 
     iters, reps = 20, 3
     best = float("inf")
@@ -209,7 +219,7 @@ def bench_train_step():
         t0 = time.perf_counter()
         for _ in range(iters):
             state, metrics = step(state, batch, jax.random.PRNGKey(1))
-        jax.block_until_ready(metrics)
+        float(metrics["train_loss"])   # state chain => all steps done
         best = min(best, (time.perf_counter() - t0) / iters)
 
     audio_sec_per_s = batch_size * seconds / best
@@ -218,6 +228,12 @@ def bench_train_step():
 
 
 def main():
+    import faulthandler
+
+    # if a section wedges (tunnel hiccup), dump all stacks so the hang is
+    # diagnosable from the log; repeats every 10 min
+    faulthandler.dump_traceback_later(600, repeat=True, exit=False)
+
     import jax
 
     t0 = time.perf_counter()

@@ -98,8 +98,11 @@ def build_punc_model(config: UserConfig):
                                "blank_at_zero": True})
         punc_tokens = [t for t in bd_f.vocab_array
                        if t not in ("<S>", "</S>")]
-    dl = PuncDataLoader(config, char_f, punc_tokens)
-    model = PuncTransformer(PuncConfig.from_user_config(config),
+    punc_cfg = PuncConfig.from_user_config(config)
+    rc = config.section("running_config")
+    max_len = min(int(rc["max_len"] or 64), punc_cfg.pe_input)
+    dl = PuncDataLoader(config, char_f, punc_tokens, max_len=max_len)
+    model = PuncTransformer(punc_cfg,
                             char_f.num_classes, dl.num_punc_classes)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.ones((1, 8), jnp.int32))

@@ -92,18 +92,32 @@ class PuncDataLoader:
         return chars, labels
 
     def encode(self, text: str) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        enc = self.encode_windows(text)
+        return enc[0] if enc else None
+
+    def encode_windows(self, text: str
+                       ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Lines longer than max_len-2 chars become MULTIPLE training
+        windows (stride max_len-2) instead of losing the tail to
+        truncation — the reference pads to the batch max (pe_input 1024)
+        but TPU batches need a static length."""
         chars, labels = self.get_target(text)
         if not chars:
-            return None
+            return []
         if not all(self.char_featurizer.has(c) for c in chars):
-            return None
-        ids = ([self.char_featurizer.startid()]
-               + self.char_featurizer.extract(chars)
-               + [self.char_featurizer.endid()])
-        labs = [1] + labels + [1]
-        ids = ids[:self.max_len]
-        labs = labs[:self.max_len]
-        return (np.asarray(ids, np.int32), np.asarray(labs, np.int32))
+            return []
+        body = self.max_len - 2
+        out = []
+        for s in range(0, len(chars), body):
+            cw = chars[s:s + body]
+            lw = labels[s:s + body]
+            ids = ([self.char_featurizer.startid()]
+                   + self.char_featurizer.extract(cw)
+                   + [self.char_featurizer.endid()])
+            labs = [1] + lw + [1]
+            out.append((np.asarray(ids, np.int32),
+                        np.asarray(labs, np.int32)))
+        return out
 
     def _bert_path(self, line: str) -> Optional[str]:
         if not self.bert_feature_dir:
@@ -135,10 +149,9 @@ class PuncDataLoader:
             if guard > 100 * self.batch:
                 raise RuntimeError("too many rejected punc lines")
             line = self._next(train)
-            enc = self.encode(line)
-            if enc is None:
+            windows = self.encode_windows(line)
+            if not windows:
                 continue
-            ids, labs = enc
             feat = None
             if have_feats:
                 p = self._bert_path(line)
@@ -146,9 +159,23 @@ class PuncDataLoader:
                     feat = np.load(p).astype(np.float32)
                 else:
                     have_feats = False
-            ids_list.append(ids)
-            labs_list.append(labs)
-            feats_list.append(feat)
+            body = self.max_len - 2
+            for w, (ids, labs) in enumerate(windows):
+                if len(ids_list) >= self.batch:
+                    break
+                fw = None
+                if feat is not None:
+                    s = w * body
+                    n = len(ids) - 2
+                    fw = np.full((len(ids), feat.shape[-1]), -10.0,
+                                 np.float32)
+                    if w == 0:
+                        fw[0] = feat[0]            # CLS aligns with <S>
+                    rows = feat[1 + s:1 + s + n]
+                    fw[1:1 + len(rows)] = rows
+                ids_list.append(ids)
+                labs_list.append(labs)
+                feats_list.append(fw)
 
         t = self.max_len
         n = len(ids_list)

@@ -144,6 +144,35 @@ def test_punc_transformer_shapes_and_train():
     assert np.all(np.asarray(decisions) >= 0)
 
 
+def test_punc_loader_windows_long_lines(tmp_path):
+    """Lines past max_len-2 chars split into windows instead of losing
+    the tail (round-1 weak item 8)."""
+    from tensorflowasr_tpu.data.punc_dataloader import PuncDataLoader
+    from tensorflowasr_tpu.utils.text import TextFeaturizer
+
+    (tmp_path / "chars.txt").write_text(
+        "\n".join(["<S>", "</S>"] + list("abcdef")), encoding="utf-8")
+    long_line = "abcdef" * 20 + "。"       # 120 chars
+    (tmp_path / "punc.list").write_text(long_line + "\n",
+                                        encoding="utf-8")
+    char_f = TextFeaturizer({"vocabulary": str(tmp_path / "chars.txt"),
+                             "blank_at_zero": True})
+    config = {"running_config": {
+        "train_list": str(tmp_path / "punc.list"),
+        "eval_list": str(tmp_path / "punc.list"),
+        "batch_size": 4, "outdir": None}}
+    dl = PuncDataLoader(config, char_f, ["，", "。"], max_len=32)
+    windows = dl.encode_windows(long_line)
+    assert len(windows) == 4               # ceil(120 / 30)
+    total_chars = sum(len(ids) - 2 for ids, _ in windows)
+    assert total_chars == 120              # nothing truncated
+    # last char's label carries the 。 (label >= 2) in the LAST window
+    last_ids, last_labs = windows[-1]
+    assert last_labs[len(last_ids) - 2] >= 2
+    batch = dl.generate(True)
+    assert batch["ids"].shape == (4, 32)
+
+
 def test_punc_param_count():
     cfg = PuncConfig()
     model = PuncTransformer(cfg, vocab_size=5038, num_punc_classes=33)
