@@ -217,7 +217,8 @@ def bench_train_step():
                                  batch_stats=variables.get("batch_stats"))
 
     step = make_train_step(model, tx, blank_id=n_phone - 1, donate=True)
-    state, metrics = step(state, batch, jax.random.PRNGKey(1))  # compile
+    rng = jax.random.key(1, impl="rbg")  # what train/base.py fit() uses
+    state, metrics = step(state, batch, rng)  # compile
     float(metrics["train_loss"])
 
     # best-of-6: the chip is multi-tenant; contention bursts inflate reps
@@ -226,7 +227,7 @@ def bench_train_step():
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(iters):
-            state, metrics = step(state, batch, jax.random.PRNGKey(1))
+            state, metrics = step(state, batch, rng)
         float(metrics["train_loss"])   # state chain => all steps done
         best = min(best, (time.perf_counter() - t0) / iters)
 

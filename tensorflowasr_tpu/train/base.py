@@ -72,7 +72,11 @@ class TrainerBase:
         from tensorflowasr_tpu.utils.telemetry import ThroughputMeter
 
         assert self.state is not None, "call init_state first"
-        rng = jax.random.PRNGKey(rng_seed)
+        # rbg keys, not threefry: dropout-mask generation with the default
+        # threefry costs 44 ms of a 119 ms full-size train step on TPU
+        # v5e (B=128); the hardware RNG drops that to ~8 ms with the same
+        # statistical quality for dropout purposes
+        rng = jax.random.key(rng_seed, impl="rbg")
         os.makedirs(self.outdir, exist_ok=True)
         metrics_path = metrics_path or os.path.join(self.outdir,
                                                     "metrics.jsonl")
