@@ -302,14 +302,20 @@ class AMDataLoader:
     def _pack(self, wavs, phones, chars, b: BucketSpec
               ) -> Dict[str, np.ndarray]:
         n = len(wavs)
-        wav_arr = np.zeros((n, b.wav_cap), np.float32)
+        # int16 wire format: wav floats are k/32768 already (PCM16 source
+        # or the int16-quantizing augment pipeline), so this is lossless
+        # and HALVES host->device batch transfer; models dequantize
+        # in-graph (ops/frontend.wav_to_float)
+        wav_arr = np.zeros((n, b.wav_cap), np.int16)
         ph_arr = np.zeros((n, b.phone_cap), np.int32)
         ch_arr = np.zeros((n, b.char_cap), np.int32)
         in_len = np.zeros((n,), np.int32)
         ph_len = np.zeros((n,), np.int32)
         ch_len = np.zeros((n,), np.int32)
         for i, (w, p, c) in enumerate(zip(wavs, phones, chars)):
-            wav_arr[i, :len(w)] = w
+            wav_arr[i, :len(w)] = np.clip(
+                np.round(np.asarray(w, np.float32) * 32768.0),
+                -32768, 32767).astype(np.int16)
             ph_arr[i, :len(p)] = p
             ch_arr[i, :len(c)] = c
             in_len[i] = self._input_length(len(w))

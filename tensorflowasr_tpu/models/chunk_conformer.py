@@ -429,6 +429,7 @@ class ChunkFront(nn.Module):
             self.mel_weights = None
 
     def _mel(self, wav: jnp.ndarray) -> jnp.ndarray:
+        wav = fe.wav_to_float(wav)
         if wav.ndim == 3:
             wav = wav[..., 0]
         return fe.log_mel_spectrogram(wav, self.fcfg,
@@ -443,6 +444,7 @@ class ChunkFront(nn.Module):
                     sub_cache: jnp.ndarray):
         """wav [B, chunk_samples]; wav_cache [B, chunk_samples] tail."""
         c = self.cfg
+        wav = fe.wav_to_float(wav)
         if wav.ndim == 3:
             wav = wav[..., 0]
         full = jnp.concatenate([wav_cache, wav], axis=1)

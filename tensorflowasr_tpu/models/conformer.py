@@ -196,6 +196,7 @@ class ConformerEncoder(nn.Module):
     def __call__(self, wav: jnp.ndarray, training: bool = False
                  ) -> jnp.ndarray:
         c = self.cfg
+        wav = fe.wav_to_float(wav)
         mel = MelFrontend(c, name="mel_layer")(wav)          # [B, F, n_mels]
         x = mel[..., None]                                    # channel axis
         x = ConvSubsampling(c.dmodel, c.reduction_factor, c.dropout,
@@ -225,6 +226,7 @@ class StreamingConformerEncoder(nn.Module):
     def __call__(self, wav: jnp.ndarray, training: bool = False
                  ) -> jnp.ndarray:
         c = self.cfg
+        wav = fe.wav_to_float(wav)
         if wav.ndim == 3:
             wav = wav[..., 0]
         b, t = wav.shape

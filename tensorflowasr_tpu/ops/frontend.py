@@ -137,6 +137,18 @@ def _same_pad(t: int, k: int, s: int) -> Tuple[int, int]:
     return pad // 2, pad - pad // 2
 
 
+def wav_to_float(wav: jnp.ndarray) -> jnp.ndarray:
+    """int16 PCM [B, T] -> float32 in [-1, 1); float input passes through.
+
+    Dataloaders ship wav batches as int16 (the augmentation pipeline
+    int16-quantizes every sample anyway, augment.py int16 parity), which
+    halves host->device transfer — significant when the chip is remote.
+    Models dequantize here, at the first in-graph touch."""
+    if wav.dtype == jnp.int16:
+        return wav.astype(jnp.float32) / 32768.0
+    return wav
+
+
 def frame_signal(wav: jnp.ndarray, n_fft: int, hop: int,
                  padding: str = "same") -> jnp.ndarray:
     """[B, T] -> [B, n_frames, n_fft] hop-strided frames.

@@ -166,6 +166,26 @@ def test_am_dataloader_static_shapes(asr_data):
     for i in range(2):
         last = b1["chars"][i, b1["char_length"][i] - 1]
         assert last == char_f.endid()
+    # int16 wire format, lossless for PCM16-grid sources: dequantizing
+    # reproduces the loaded float wav exactly
+    import jax.numpy as jnp
+
+    from tensorflowasr_tpu.ops.frontend import wav_to_float
+    from tensorflowasr_tpu.utils.audio import read_wav
+
+    assert b1["wav"].dtype == np.int16
+    deq = np.asarray(wav_to_float(jnp.asarray(b1["wav"])))
+    assert deq.dtype == np.float32
+    # non-trivial audio survived, on the exact int16 grid
+    assert np.abs(deq).max() > 0.1
+    np.testing.assert_array_equal(
+        np.round(deq * 32768.0).astype(np.int16), b1["wav"])
+    # float input passes wav_to_float through untouched
+    src, _ = read_wav(
+        open(config["running_config"]["train_list"],
+             encoding="utf-8").readline().split("\t")[0], target_sr=16000)
+    np.testing.assert_array_equal(np.asarray(wav_to_float(jnp.asarray(src))),
+                                  src)
 
 
 def test_am_dataloader_no_data_loss(tmp_path):
