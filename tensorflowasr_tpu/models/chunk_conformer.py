@@ -925,5 +925,58 @@ class ChunkConformer(nn.Module):
             out_caches[f"dec_{k}"] = v
         return phone_ids, char_ids, prov_ids, n_final, out_caches
 
+    # -- multi-stream (vmapped) serving ------------------------------------
+    def init_multi_stream_caches(self, n_streams: int):
+        """Stream-state pool for ``batched_stream_step``: every leaf of the
+        single-stream cache pytree gains a leading [n_streams] slot axis.
+        All stream state is zeros at init (cold start == offline padding,
+        see module docstring), so this is a plain zeros tree."""
+        one = self.init_stream_caches(1)
+        return jax.tree.map(
+            lambda x: jnp.zeros((n_streams,) + x.shape, x.dtype), one)
+
+    def batched_stream_step(self, wav_chunks: jnp.ndarray, caches,
+                            reset: jnp.ndarray | None = None,
+                            advance: jnp.ndarray | None = None):
+        """Advance ``n_streams`` independent per-stream state machines in
+        ONE program: ``fused_stream_step`` vmapped over a slot axis, params
+        broadcast. This is the many-concurrent-streams serving form — the
+        reference serves one stream per CPU core (RTF 0.1, README.md:172);
+        one TPU chip instead runs every slot's 160 ms chunk in a single
+        batched dispatch.
+
+        wav_chunks [S, chunk_samples]; caches from
+        ``init_multi_stream_caches(S)``.
+        reset   [S] bool: slots whose stream state is zeroed BEFORE the
+                step (stream open / slot reuse).
+        advance [S] bool: slots whose state actually moves; a False slot
+                keeps its (post-reset) state unchanged and its outputs for
+                this step are meaningless. Lets a server tick a full slot
+                pool when only some slots have a complete chunk buffered.
+
+        Returns (phone_ids [S, t], char_ids [S, t], prov_ids [S, wb],
+        n_final [S, 1], new caches).
+        """
+        if reset is not None:
+            caches = jax.tree.map(
+                lambda x: jnp.where(
+                    reset.reshape((-1,) + (1,) * (x.ndim - 1)),
+                    jnp.zeros((), x.dtype), x),
+                caches)
+        vstep = nn.vmap(
+            ChunkConformer.fused_stream_step,
+            in_axes=(0, 0), out_axes=0,
+            variable_axes={"params": None, "batch_stats": None},
+            split_rngs={"params": False, "dropout": False})
+        phone_ids, char_ids, prov_ids, n_final, new_caches = vstep(
+            self, wav_chunks[:, None, :], caches)
+        if advance is not None:
+            new_caches = jax.tree.map(
+                lambda new, old: jnp.where(
+                    advance.reshape((-1,) + (1,) * (new.ndim - 1)),
+                    new, old),
+                new_caches, caches)
+        return phone_ids, char_ids, prov_ids, n_final, new_caches
+
 
 from tensorflowasr_tpu.models.conformer import count_params  # noqa: E402,F401

@@ -1,0 +1,195 @@
+"""Many-concurrent-streams chunk serving on one chip.
+
+The reference serves ONE stream per CPU core (ChunkConformer RTF 0.1,
+reference README.md:172); its C++ session (Inference/CppInference) is a
+single-stream state machine. On a TPU the batch-1 fused streaming step
+(`serve/chunk_session.py`) leaves the MXU almost idle, so the natural
+scaling axis is CONCURRENT STREAMS: `ChunkConformer.batched_stream_step`
+vmaps the whole per-stream state machine over a slot axis and advances
+every active session's 160 ms chunk in ONE dispatch.
+
+`MultiStreamChunkServer` is the host-side slot-pool manager:
+
+- a fixed pool of `n_slots` streams (static shapes: the program is
+  compiled once for the pool size);
+- `open()` leases a slot (its device state is zeroed on the slot's next
+  advancing tick via the step's `reset` mask — no extra dispatch);
+- `feed(slot, wav)` buffers audio host-side; `tick()` advances every slot
+  that has a full chunk buffered (the `advance` mask freezes the others'
+  state in-graph);
+- `close(slot)` flushes residual audio and returns the final result.
+
+Per-slot decode accumulation is identical to ChunkStreamSession — the
+parity test (tests/test_multi_session.py) checks a pool of interleaved
+sessions against independent single-stream sessions token-for-token.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorflowasr_tpu.models.chunk_conformer import ChunkConformer
+
+
+class _SlotState:
+    __slots__ = ("wav_rem", "phone_ids", "char_ids", "provisional_ids",
+                 "active", "pending_reset")
+
+    def __init__(self):
+        self.wav_rem = np.zeros((0,), np.float32)
+        self.phone_ids: List[int] = []
+        self.char_ids: List[int] = []
+        self.provisional_ids: List[int] = []
+        self.active = False
+        self.pending_reset = False
+
+
+class MultiStreamChunkServer:
+    def __init__(self, model: ChunkConformer, variables: dict,
+                 n_slots: int = 16, phone_featurizer=None,
+                 text_featurizer=None):
+        self.model = model
+        self.variables = variables
+        self.cfg = model.cfg
+        self.n_slots = n_slots
+        self.phone_featurizer = phone_featurizer
+        self.text_featurizer = text_featurizer
+        self.phone_blank = model.num_phone_classes - 1
+        self.char_blank = model.num_char_classes - 1
+        t = self.cfg.sub_length
+        wb = max(self.cfg.decoder.win_back, 1)
+
+        def step(v, wavs, caches, reset, advance):
+            phone_ids, char_ids, prov_ids, n_final, new = model.apply(
+                v, wavs, caches, reset, advance,
+                method=ChunkConformer.batched_stream_step)
+            packed = jnp.concatenate([
+                phone_ids.astype(jnp.float32),
+                char_ids.astype(jnp.float32),
+                prov_ids.astype(jnp.float32),
+                n_final.astype(jnp.float32),
+            ], axis=1)                            # [S, t + t + wb + 1]
+            return packed, new
+
+        self._step = jax.jit(step)
+        self._t = t
+        self._wb = wb
+        self.caches = model.apply(variables, n_slots,
+                                  method=ChunkConformer.init_multi_stream_caches)
+        self._slots = [_SlotState() for _ in range(n_slots)]
+        self._free = list(range(n_slots - 1, -1, -1))
+
+    # -- session lifecycle ---------------------------------------------------
+    def open(self) -> int:
+        """Lease a slot for a new stream; raises if the pool is full."""
+        if not self._free:
+            raise RuntimeError(f"all {self.n_slots} stream slots busy")
+        slot = self._free.pop()
+        s = self._slots[slot]
+        s.__init__()
+        s.active = True
+        s.pending_reset = True     # device state zeroed on first advance
+        return slot
+
+    def feed(self, slot: int, wav: np.ndarray) -> None:
+        """Buffer audio for a slot (no device work until tick())."""
+        s = self._checked(slot)
+        s.wav_rem = np.concatenate([s.wav_rem, np.asarray(wav, np.float32)])
+
+    def tick(self) -> None:
+        """Advance every slot with >= 1 full chunk buffered; repeats until
+        no slot has a complete chunk left (bursty feeds drain fully).
+        One fused dispatch + one packed fetch per iteration."""
+        cs = self.cfg.chunk_samples
+        while True:
+            adv = np.array([s.active and len(s.wav_rem) >= cs
+                            for s in self._slots], bool)
+            if not adv.any():
+                return
+            self._dispatch(adv)
+
+    def close(self, slot: int) -> dict:
+        """Flush residual audio (zero-padded to one chunk), return the
+        final result, release the slot."""
+        s = self._checked(slot)
+        if len(s.wav_rem) > 0:
+            cs = self.cfg.chunk_samples
+            pad = (-len(s.wav_rem)) % cs
+            if pad:
+                s.wav_rem = np.concatenate(
+                    [s.wav_rem, np.zeros((pad,), np.float32)])
+        self.tick()
+        out = self.result(slot)
+        s.active = False
+        self._free.append(slot)
+        return out
+
+    # -- results -------------------------------------------------------------
+    def result(self, slot: int) -> dict:
+        s = self._checked(slot)
+        phone_seq = _collapse(s.phone_ids, self.phone_blank)
+        char_seq = _collapse(s.char_ids + s.provisional_ids, self.char_blank)
+        out = {"phone_ids": phone_seq, "char_ids": char_seq}
+        if self.phone_featurizer is not None:
+            out["phones"] = self.phone_featurizer.iextract(phone_seq)
+        if self.text_featurizer is not None:
+            out["text"] = "".join(self.text_featurizer.iextract(char_seq))
+        return out
+
+    @property
+    def n_active(self) -> int:
+        return sum(s.active for s in self._slots)
+
+    # -- internals -----------------------------------------------------------
+    def _checked(self, slot: int) -> _SlotState:
+        s = self._slots[slot]
+        if not s.active:
+            raise ValueError(f"slot {slot} is not an open stream")
+        return s
+
+    def _dispatch(self, adv: np.ndarray) -> None:
+        cs = self.cfg.chunk_samples
+        wavs = np.zeros((self.n_slots, cs), np.float32)
+        reset = np.zeros((self.n_slots,), bool)
+        for i, s in enumerate(self._slots):
+            if adv[i]:
+                wavs[i] = s.wav_rem[:cs]
+                s.wav_rem = s.wav_rem[cs:]
+                reset[i] = s.pending_reset
+        packed, self.caches = self._step(
+            self.variables, jnp.asarray(wavs), self.caches,
+            jnp.asarray(reset), jnp.asarray(adv))
+        packed = np.asarray(packed)                # ONE fetch per tick
+        t, wb = self._t, self._wb
+        for i, s in enumerate(self._slots):
+            if not adv[i]:
+                continue
+            if reset[i]:
+                s.pending_reset = False
+            row = packed[i]
+            phone_ids = row[:t].astype(np.int64)
+            char_ids = row[t:2 * t].astype(np.int64)
+            prov_ids = row[2 * t:2 * t + wb].astype(np.int64)
+            n = int(row[2 * t + wb])
+            if n <= 0:
+                continue
+            s.phone_ids.extend(int(j) for j in phone_ids[-n:])
+            for j in char_ids:
+                if j >= 0:
+                    s.char_ids.append(int(j))
+            if any(phone_ids[-n:] != self.phone_blank):
+                s.provisional_ids = [int(j) for j in prov_ids if j >= 0]
+
+
+def _collapse(ids: List[int], blank: int) -> List[int]:
+    out: List[int] = []
+    prev = -1
+    for i in ids:
+        if i != prev and i != blank:
+            out.append(i)
+        prev = i
+    return out

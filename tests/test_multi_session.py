@@ -1,0 +1,145 @@
+"""Multi-stream serving: vmapped batched_stream_step and the slot-pool
+server must reproduce single-stream streaming token-for-token.
+
+The reference has no multi-stream counterpart (one stream per CPU core,
+README.md:172); correctness target is therefore OUR single-stream path,
+which is itself parity-tested against offline decode
+(tests/test_chunk_session.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests.test_chunk import N_CHAR, N_PHONE, tiny_cfg
+from tensorflowasr_tpu.models.chunk_conformer import ChunkConformer
+from tensorflowasr_tpu.serve.chunk_session import ChunkStreamSession
+from tensorflowasr_tpu.serve.multi_session import MultiStreamChunkServer
+
+
+def _model_and_vars():
+    cfg = tiny_cfg()
+    model = ChunkConformer(cfg, N_PHONE, N_CHAR)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.chunk_samples), jnp.float32),
+        jnp.ones((1, 4), jnp.int32), 8, False,
+        method=ChunkConformer.train_forward)
+    return cfg, model, variables
+
+
+def test_batched_stream_step_matches_single():
+    cfg, model, variables = _model_and_vars()
+    rng = np.random.default_rng(0)
+    S, n_chunks = 3, 3
+    wavs = rng.standard_normal(
+        (S, n_chunks, cfg.chunk_samples)).astype(np.float32) * 0.1
+
+    singles = []
+    for s in range(S):
+        c = model.apply(variables, 1,
+                        method=ChunkConformer.init_stream_caches)
+        outs = []
+        for k in range(n_chunks):
+            ph, ch, pv, nf, c = model.apply(
+                variables, jnp.asarray(wavs[s, k][None]), c,
+                method=ChunkConformer.fused_stream_step)
+            outs.append(tuple(np.asarray(x) for x in (ph, ch, pv, nf)))
+        singles.append(outs)
+
+    caches = model.apply(variables, S,
+                         method=ChunkConformer.init_multi_stream_caches)
+    step = jax.jit(lambda v, w, c: model.apply(
+        v, w, c, method=ChunkConformer.batched_stream_step))
+    for k in range(n_chunks):
+        ph, ch, pv, nf, caches = step(variables, jnp.asarray(wavs[:, k]),
+                                      caches)
+        for s in range(S):
+            e_ph, e_ch, e_pv, e_nf = singles[s][k]
+            assert np.array_equal(np.asarray(ph)[s], e_ph)
+            assert np.array_equal(np.asarray(ch)[s], e_ch)
+            assert np.array_equal(np.asarray(pv)[s], e_pv)
+            assert np.array_equal(np.asarray(nf)[s], e_nf)
+
+
+def test_batched_step_reset_and_advance_masks():
+    cfg, model, variables = _model_and_vars()
+    rng = np.random.default_rng(1)
+    S = 2
+    chunk = rng.standard_normal(
+        (S, cfg.chunk_samples)).astype(np.float32) * 0.1
+
+    step = jax.jit(lambda v, w, c, r, a: model.apply(
+        v, w, c, r, a, method=ChunkConformer.batched_stream_step))
+    caches = model.apply(variables, S,
+                         method=ChunkConformer.init_multi_stream_caches)
+    none = jnp.zeros((S,), bool)
+    allm = jnp.ones((S,), bool)
+
+    # advance both, then step again with slot 1 frozen: slot 1's caches
+    # must be bit-identical to before the frozen step
+    _, _, _, _, caches = step(variables, jnp.asarray(chunk), caches,
+                              none, allm)
+    frozen = jax.tree.map(lambda x: np.asarray(x)[1], caches)
+    adv = jnp.asarray(np.array([True, False]))
+    _, _, _, _, caches2 = step(variables, jnp.asarray(chunk), caches,
+                               none, adv)
+    for a, b in zip(jax.tree.leaves(frozen),
+                    jax.tree.leaves(jax.tree.map(
+                        lambda x: np.asarray(x)[1], caches2))):
+        assert np.array_equal(a, b)
+    # ... and slot 0 must have moved (wav tail cache definitely changes)
+    moved = any(
+        not np.array_equal(np.asarray(a)[0], np.asarray(b)[0])
+        for a, b in zip(jax.tree.leaves(caches), jax.tree.leaves(caches2)))
+    assert moved
+
+    # resetting a slot reproduces its cold-start output exactly
+    cold = model.apply(variables, 1,
+                       method=ChunkConformer.init_stream_caches)
+    ph0, _, _, _, _ = model.apply(
+        variables, jnp.asarray(chunk[:1]), cold,
+        method=ChunkConformer.fused_stream_step)
+    rst = jnp.asarray(np.array([True, False]))
+    ph, _, _, _, _ = step(variables, jnp.asarray(chunk), caches2,
+                          rst, allm)
+    assert np.array_equal(np.asarray(ph)[0], np.asarray(ph0))
+
+
+def test_multi_stream_server_matches_single_sessions():
+    cfg, model, variables = _model_and_vars()
+    rng = np.random.default_rng(2)
+    cs = cfg.chunk_samples
+    lengths = [4 * cs, 3 * cs + cs // 2, 2 * cs + 123]
+    wavs = [rng.standard_normal((n,)).astype(np.float32) * 0.1
+            for n in lengths]
+
+    expected = []
+    for w in wavs:
+        sess = ChunkStreamSession(model, variables)
+        sess.feed(w)
+        expected.append(sess.flush())
+
+    server = MultiStreamChunkServer(model, variables, n_slots=3)
+    slots = [server.open() for _ in wavs]
+    # interleave feeds in odd-sized packets; tick between bursts
+    offsets = [0] * len(wavs)
+    pkt = 1000
+    while any(o < len(w) for o, w in zip(offsets, wavs)):
+        for i, w in enumerate(wavs):
+            if offsets[i] < len(w):
+                server.feed(slots[i], w[offsets[i]:offsets[i] + pkt])
+                offsets[i] += pkt
+        server.tick()
+    results = [server.close(s) for s in slots]
+    for got, want in zip(results, expected):
+        assert got["phone_ids"] == want["phone_ids"]
+        assert got["char_ids"] == want["char_ids"]
+
+    # slot reuse: a NEW stream on a freed slot must decode as if fresh
+    w = wavs[0]
+    slot = server.open()
+    assert server.n_active == 1
+    server.feed(slot, w)
+    got = server.close(slot)
+    assert got["phone_ids"] == expected[0]["phone_ids"]
+    assert got["char_ids"] == expected[0]["char_ids"]
