@@ -26,6 +26,15 @@ def main(argv=None) -> int:
     parser.add_argument("--port", type=int, default=8502)
     parser.add_argument("--vad_data_config", default=None)
     parser.add_argument("--vad_model_config", default=None)
+    parser.add_argument("--chunk_data_config", default=None,
+                        help="with --chunk_model_config: also serve "
+                             "multi-stream chunk ASR (stream_open/feed/"
+                             "result/close ops)")
+    parser.add_argument("--chunk_model_config", default=None)
+    parser.add_argument("--stream_slots", type=int, default=8,
+                        help="concurrent chunk-stream slot pool size")
+    parser.add_argument("--stream_wait_ms", type=float, default=8.0,
+                        help="dynamic-batching coalescing window")
     args = parser.parse_args(argv)
     config = load_config(args)
     phone_f, char_f, _, _, _ = build_featurizers(config)
@@ -86,11 +95,54 @@ def main(argv=None) -> int:
     logger.info("translate compiled")
     vad_frame = (vad_engine.frame_input if vad_engine is not None else 80)
     ops["vad"](np.zeros((1, 10, vad_frame), np.float32))
+
+    inline_ops = set()
+    stream_front = None
+    if args.chunk_data_config and args.chunk_model_config:
+        from tensorflowasr_tpu.serve.multi_session import (
+            BatchingStreamFront, MultiStreamChunkServer, build_stream_ops)
+        from tensorflowasr_tpu.train.chunk_trainer import ChunkTrainer
+        from tensorflowasr_tpu.utils.config import UserConfig
+
+        ccfg = UserConfig(args.chunk_data_config, args.chunk_model_config)
+        cphone_f, cchar_f, _, _, _ = build_featurizers(ccfg)
+        ctrainer = ChunkTrainer(ccfg, cphone_f.num_classes,
+                                cchar_f.num_classes,
+                                compute_dtype=args.compute_dtype)
+        mcfg = ctrainer.model_cfg
+        ctrainer.init_state({
+            "wav": np.zeros((1, mcfg.chunk_samples), np.float32),
+            "extra_phones": np.ones((1, 8), np.int32),
+        })
+        if not ctrainer.restore():
+            logger.warning("no chunk ASR checkpoint; streaming with "
+                           "random init")
+        cvars = {"params": ctrainer.state.params}
+        if ctrainer.state.batch_stats is not None:
+            cvars["batch_stats"] = ctrainer.state.batch_stats
+        msrv = MultiStreamChunkServer(
+            ctrainer.model, cvars, n_slots=args.stream_slots,
+            phone_featurizer=cphone_f, text_featurizer=cchar_f)
+        # compile the batched tick on the MAIN thread: advance-all-False
+        # leaves every slot's state untouched
+        logger.info("compiling %d-slot stream tick...", args.stream_slots)
+        import jax.numpy as _jnp
+        msrv._step(cvars,
+                   _jnp.zeros((args.stream_slots, mcfg.chunk_samples),
+                              _jnp.float32),
+                   msrv.caches,
+                   _jnp.zeros((args.stream_slots,), bool),
+                   _jnp.zeros((args.stream_slots,), bool))
+        stream_front = BatchingStreamFront(msrv,
+                                           max_wait_ms=args.stream_wait_ms)
+        stream_ops = build_stream_ops(stream_front)
+        ops.update(stream_ops)
+        inline_ops = set(stream_ops)
     logger.info("warmup done")
 
     server = ModelServer(ops, unix_path=args.socket,
                          tcp_port=None if args.socket else args.port,
-                         inline_exec=False)
+                         inline_exec=False, inline_ops=inline_ops)
     server.start()
     endpoint = args.socket or f"127.0.0.1:{server.tcp_port}"
     print(f"model server ready on {endpoint}", flush=True)

@@ -83,11 +83,17 @@ class ModelServer:
     def __init__(self, ops: Dict[str, Callable[..., np.ndarray]],
                  unix_path: Optional[str] = None,
                  tcp_port: Optional[int] = None,
-                 inline_exec: bool = True):
+                 inline_exec: bool = True,
+                 inline_ops: Optional[set] = None):
         self.ops = ops
         self.unix_path = unix_path
         self.tcp_port = tcp_port
         self.inline_exec = inline_exec
+        # ops that run on the CONNECTION thread even when inline_exec is
+        # False — required for blocking/coalescing ops (the multi-stream
+        # feed waits for the batching ticker; on the single worker thread
+        # that wait would serialize all clients and defeat batching)
+        self.inline_ops = inline_ops or set()
         self._sock: Optional[socket.socket] = None
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
@@ -175,7 +181,10 @@ class ModelServer:
                 tensors = [read_tensor(conn) for _ in range(n)]
                 try:
                     fn = self.ops[op]
-                    out = self._execute(fn, tensors)
+                    if op in self.inline_ops:
+                        out = fn(*tensors)
+                    else:
+                        out = self._execute(fn, tensors)
                     if isinstance(out, np.ndarray):
                         out = [out]
                     # serialize FULLY before sending: a failure mid-response

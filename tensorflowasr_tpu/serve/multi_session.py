@@ -26,7 +26,8 @@ sessions against independent single-stream sessions token-for-token.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+import threading
+from typing import Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -183,6 +184,107 @@ class MultiStreamChunkServer:
                     s.char_ids.append(int(j))
             if any(phone_ids[-n:] != self.phone_blank):
                 s.provisional_ids = [int(j) for j in prov_ids if j >= 0]
+
+
+class BatchingStreamFront:
+    """Thread-safe dynamic-batching front over MultiStreamChunkServer.
+
+    Network handlers (one thread per client connection, see
+    model_server.py) call ``feed`` concurrently; a single ticker thread
+    coalesces chunks that arrive within ``max_wait_ms`` of each other and
+    advances them in ONE batched dispatch — the classic dynamic-batching
+    scheduler, here for persistent streaming state instead of stateless
+    requests. All device work happens on the ticker thread (single-TPU-
+    thread discipline); callers block on a condition until their slot's
+    buffered audio has been consumed.
+    """
+
+    def __init__(self, server: MultiStreamChunkServer,
+                 max_wait_ms: float = 8.0):
+        self._srv = server
+        self._cv = threading.Condition()
+        self._max_wait = max_wait_ms / 1000.0
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- client API (any thread) --------------------------------------------
+    def open(self) -> int:
+        with self._cv:
+            return self._srv.open()
+
+    def feed(self, slot: int, wav: np.ndarray) -> dict:
+        """Buffer audio and block until every complete chunk of this
+        slot's buffer has been processed; returns the live result."""
+        cs = self._srv.cfg.chunk_samples
+        with self._cv:
+            self._srv.feed(slot, wav)
+            self._cv.notify_all()     # wake the ticker
+            self._cv.wait_for(
+                lambda: len(self._srv._slots[slot].wav_rem) < cs)
+            return self._srv.result(slot)
+
+    def result(self, slot: int) -> dict:
+        with self._cv:
+            return self._srv.result(slot)
+
+    def close(self, slot: int) -> dict:
+        with self._cv:
+            return self._srv.close(slot)
+
+    def shutdown(self) -> None:
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._thread.join(timeout=5)
+
+    # -- ticker --------------------------------------------------------------
+    def _has_full_chunk(self) -> bool:
+        cs = self._srv.cfg.chunk_samples
+        return any(s.active and len(s.wav_rem) >= cs
+                   for s in self._srv._slots)
+
+    def _loop(self) -> None:
+        with self._cv:
+            while True:
+                self._cv.wait_for(
+                    lambda: self._stop or self._has_full_chunk())
+                if self._stop:
+                    return
+                # coalescing window: let concurrently-arriving feeds
+                # join this tick (lock released while waiting)
+                if self._max_wait > 0:
+                    self._cv.wait(timeout=self._max_wait)
+                    if self._stop:
+                        return
+                self._srv.tick()
+                self._cv.notify_all()
+
+
+def build_stream_ops(front: BatchingStreamFront) -> Dict[str, Callable]:
+    """Socket op table (model_server.py wire protocol) for multi-stream
+    chunk serving. Ids-only results — text mapping stays client-side (the
+    C++ host owns the Tokener, cpp/serving/include/tokener.h)."""
+
+    def _pair(out: dict):
+        return [np.asarray(out["phone_ids"], np.int32),
+                np.asarray(out["char_ids"], np.int32)]
+
+    def stream_open() -> np.ndarray:
+        return np.asarray([front.open()], np.int32)
+
+    def stream_feed(slot: np.ndarray, wav: np.ndarray):
+        return _pair(front.feed(int(slot.reshape(-1)[0]),
+                                wav.reshape(-1)))
+
+    def stream_result(slot: np.ndarray):
+        return _pair(front.result(int(slot.reshape(-1)[0])))
+
+    def stream_close(slot: np.ndarray):
+        return _pair(front.close(int(slot.reshape(-1)[0])))
+
+    return {"stream_open": stream_open, "stream_feed": stream_feed,
+            "stream_result": stream_result, "stream_close": stream_close}
 
 
 def _collapse(ids: List[int], blank: int) -> List[int]:

@@ -6,6 +6,8 @@ README.md:172); correctness target is therefore OUR single-stream path,
 which is itself parity-tested against offline decode
 (tests/test_chunk_session.py)."""
 
+import threading
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -13,7 +15,11 @@ import numpy as np
 from tests.test_chunk import N_CHAR, N_PHONE, tiny_cfg
 from tensorflowasr_tpu.models.chunk_conformer import ChunkConformer
 from tensorflowasr_tpu.serve.chunk_session import ChunkStreamSession
-from tensorflowasr_tpu.serve.multi_session import MultiStreamChunkServer
+from tensorflowasr_tpu.serve.multi_session import (
+    BatchingStreamFront,
+    MultiStreamChunkServer,
+    build_stream_ops,
+)
 
 
 def _model_and_vars():
@@ -143,3 +149,102 @@ def test_multi_stream_server_matches_single_sessions():
     got = server.close(slot)
     assert got["phone_ids"] == expected[0]["phone_ids"]
     assert got["char_ids"] == expected[0]["char_ids"]
+
+
+def test_batching_front_concurrent_clients():
+    """Concurrent client threads through the dynamic-batching front (and
+    the socket op table) decode identically to single-stream sessions."""
+    cfg, model, variables = _model_and_vars()
+    rng = np.random.default_rng(3)
+    cs = cfg.chunk_samples
+    lengths = [3 * cs, 2 * cs + cs // 3, 4 * cs + 77]
+    wavs = [rng.standard_normal((n,)).astype(np.float32) * 0.1
+            for n in lengths]
+
+    expected = []
+    for w in wavs:
+        sess = ChunkStreamSession(model, variables)
+        sess.feed(w)
+        expected.append(sess.flush())
+
+    server = MultiStreamChunkServer(model, variables, n_slots=3)
+    front = BatchingStreamFront(server, max_wait_ms=5.0)
+    ops = build_stream_ops(front)
+    results = [None] * len(wavs)
+
+    def client(i):
+        slot = int(ops["stream_open"]()[0])
+        w = wavs[i]
+        pkt = cs  # one chunk per feed, like a live client
+        for off in range(0, len(w), pkt):
+            ops["stream_feed"](np.asarray([slot], np.int32),
+                               w[off:off + pkt])
+        ph, ch = ops["stream_close"](np.asarray([slot], np.int32))
+        results[i] = (list(ph), list(ch))
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(len(wavs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+        assert not t.is_alive()
+    front.shutdown()
+
+    for got, want in zip(results, expected):
+        assert got[0] == want["phone_ids"]
+        assert got[1] == want["char_ids"]
+
+
+def test_stream_ops_over_socket():
+    """Full wire path: ModelServer with inline stream ops, two concurrent
+    TCP clients streaming different audio."""
+    from tensorflowasr_tpu.serve.model_server import ModelClient, ModelServer
+
+    cfg, model, variables = _model_and_vars()
+    rng = np.random.default_rng(4)
+    cs = cfg.chunk_samples
+    wavs = [rng.standard_normal((3 * cs,)).astype(np.float32) * 0.1,
+            rng.standard_normal((2 * cs + 11,)).astype(np.float32) * 0.1]
+    expected = []
+    for w in wavs:
+        sess = ChunkStreamSession(model, variables)
+        sess.feed(w)
+        expected.append(sess.flush())
+
+    front = BatchingStreamFront(
+        MultiStreamChunkServer(model, variables, n_slots=2),
+        max_wait_ms=5.0)
+    ops = build_stream_ops(front)
+    server = ModelServer(ops, tcp_port=0, inline_exec=False,
+                         inline_ops=set(ops))
+    server.start()
+    try:
+        results = [None] * len(wavs)
+
+        def client(i):
+            cli = ModelClient(tcp_port=server.tcp_port)
+            try:
+                slot = cli.call("stream_open")[0]
+                w = wavs[i]
+                for off in range(0, len(w), cs):
+                    cli.call("stream_feed", slot.astype(np.int32),
+                             w[off:off + cs])
+                ph, ch = cli.call("stream_close", slot.astype(np.int32))
+                results[i] = (list(ph), list(ch))
+            finally:
+                cli.close()
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(len(wavs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+            assert not t.is_alive()
+        for got, want in zip(results, expected):
+            assert got[0] == want["phone_ids"]
+            assert got[1] == want["char_ids"]
+    finally:
+        server.stop()
+        front.shutdown()
