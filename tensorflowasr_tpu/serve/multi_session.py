@@ -270,6 +270,13 @@ def build_stream_ops(front: BatchingStreamFront) -> Dict[str, Callable]:
         return [np.asarray(out["phone_ids"], np.int32),
                 np.asarray(out["char_ids"], np.int32)]
 
+    def stream_info() -> np.ndarray:
+        """[chunk_samples, sample_rate, n_slots] — clients pace their
+        feeds from this."""
+        srv = front._srv
+        return np.asarray([srv.cfg.chunk_samples, srv.cfg.sample_rate,
+                           srv.n_slots], np.int32)
+
     def stream_open() -> np.ndarray:
         return np.asarray([front.open()], np.int32)
 
@@ -283,8 +290,9 @@ def build_stream_ops(front: BatchingStreamFront) -> Dict[str, Callable]:
     def stream_close(slot: np.ndarray):
         return _pair(front.close(int(slot.reshape(-1)[0])))
 
-    return {"stream_open": stream_open, "stream_feed": stream_feed,
-            "stream_result": stream_result, "stream_close": stream_close}
+    return {"stream_info": stream_info, "stream_open": stream_open,
+            "stream_feed": stream_feed, "stream_result": stream_result,
+            "stream_close": stream_close}
 
 
 def _collapse(ids: List[int], blank: int) -> List[int]:

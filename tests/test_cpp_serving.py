@@ -113,3 +113,71 @@ def test_cpp_session_end_to_end(cpp_build, tmp_path):
         assert "[end]" in out.stdout or "[final]" in out.stdout, out.stdout
     finally:
         server.stop()
+
+
+def test_cpp_stream_client_end_to_end(cpp_build, tmp_path):
+    """asr_stream (native multi-stream client): two concurrent processes
+    stream different wavs through the batched slot pool; each [final]
+    must equal the single-stream ChunkStreamSession text."""
+    from tests.test_chunk import N_CHAR, N_PHONE, tiny_cfg
+    from tensorflowasr_tpu.models.chunk_conformer import ChunkConformer
+    from tensorflowasr_tpu.serve.chunk_session import ChunkStreamSession
+    from tensorflowasr_tpu.serve.model_server import ModelServer
+    from tensorflowasr_tpu.serve.multi_session import (
+        BatchingStreamFront, MultiStreamChunkServer, build_stream_ops)
+    from tensorflowasr_tpu.utils.audio import write_wav
+
+    cfg = tiny_cfg()
+    model = ChunkConformer(cfg, N_PHONE, N_CHAR)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.chunk_samples), jnp.float32),
+        jnp.ones((1, 4), jnp.int32), 8, False,
+        method=ChunkConformer.train_forward)
+
+    # char vocab for the native tokener: ids map 1:1 to lines
+    tokens = ["<S>", "</S>"] + [f"c{i}" for i in range(N_CHAR - 3)]
+    char_vocab = tmp_path / "chars.txt"
+    char_vocab.write_text("\n".join(tokens), encoding="utf-8")
+
+    def to_text(char_ids):
+        return "".join(tokens[i] for i in char_ids
+                       if i < len(tokens) and tokens[i] not in
+                       ("<S>", "</S>"))
+
+    rng = np.random.default_rng(7)
+    cs = cfg.chunk_samples
+    wavs, paths, expected = [], [], []
+    for i, n in enumerate([3 * cs, 2 * cs + cs // 2]):
+        w = rng.standard_normal((n,)).astype(np.float32) * 0.1
+        wavs.append(w)
+        p = tmp_path / f"utt{i}.wav"
+        write_wav(str(p), w, cfg.sample_rate)
+        paths.append(p)
+        sess = ChunkStreamSession(model, variables)
+        sess.feed(w)
+        expected.append(to_text(sess.flush()["char_ids"]))
+
+    front = BatchingStreamFront(
+        MultiStreamChunkServer(model, variables, n_slots=2),
+        max_wait_ms=5.0)
+    ops = build_stream_ops(front)
+    server = ModelServer(ops, tcp_port=0, inline_exec=False,
+                         inline_ops=set(ops))
+    server.start()
+    try:
+        procs = [subprocess.Popen(
+            [os.path.join(cpp_build, "asr_stream"),
+             f"127.0.0.1:{server.tcp_port}", str(char_vocab), str(p)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+            for p in paths]
+        for proc, want in zip(procs, expected):
+            out, err = proc.communicate(timeout=300)
+            assert proc.returncode == 0, err
+            final = [ln for ln in out.splitlines()
+                     if ln.startswith("[final]")]
+            assert final, (out, err)
+            assert final[0] == f"[final] {want}", (final[0], want)
+    finally:
+        server.stop()
+        front.shutdown()
