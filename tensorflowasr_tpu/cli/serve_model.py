@@ -19,6 +19,48 @@ from tensorflowasr_tpu.cli.common import (
 logger = logging.getLogger(__name__)
 
 
+def build_chunk_stream_ops(chunk_data_config: str, chunk_model_config: str,
+                           n_slots: int = 8, max_wait_ms: float = 8.0,
+                           compute_dtype: str = "float32"):
+    """Restore the latest ChunkConformer checkpoint and build the
+    multi-stream socket op table (stream_info/open/feed/result/close).
+    Returns (ops, BatchingStreamFront); ops must run INLINE on connection
+    threads (see ModelServer.inline_ops). Compiles the batched tick on
+    the calling thread (advance-all-False leaves slot state untouched)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tensorflowasr_tpu.serve.multi_session import (
+        BatchingStreamFront, MultiStreamChunkServer, build_stream_ops)
+    from tensorflowasr_tpu.train.chunk_trainer import ChunkTrainer
+    from tensorflowasr_tpu.utils.config import UserConfig
+
+    ccfg = UserConfig(chunk_data_config, chunk_model_config)
+    cphone_f, cchar_f, _, _, _ = build_featurizers(ccfg)
+    ctrainer = ChunkTrainer(ccfg, cphone_f.num_classes, cchar_f.num_classes,
+                            compute_dtype=compute_dtype)
+    mcfg = ctrainer.model_cfg
+    ctrainer.init_state({
+        "wav": np.zeros((1, mcfg.chunk_samples), np.float32),
+        "extra_phones": np.ones((1, 8), np.int32),
+    })
+    if not ctrainer.restore():
+        logger.warning("no chunk ASR checkpoint; streaming with random init")
+    cvars = {"params": ctrainer.state.params}
+    if ctrainer.state.batch_stats is not None:
+        cvars["batch_stats"] = ctrainer.state.batch_stats
+    msrv = MultiStreamChunkServer(
+        ctrainer.model, cvars, n_slots=n_slots,
+        phone_featurizer=cphone_f, text_featurizer=cchar_f)
+    logger.info("compiling %d-slot stream tick...", n_slots)
+    msrv._step(cvars,
+               jnp.zeros((n_slots, mcfg.chunk_samples), jnp.float32),
+               msrv.caches, jnp.zeros((n_slots,), bool),
+               jnp.zeros((n_slots,), bool))
+    front = BatchingStreamFront(msrv, max_wait_ms=max_wait_ms)
+    return build_stream_ops(front), front
+
+
 def main(argv=None) -> int:
     parser = config_parser(__doc__)
     parser.add_argument("--socket", default=None,
@@ -97,45 +139,11 @@ def main(argv=None) -> int:
     ops["vad"](np.zeros((1, 10, vad_frame), np.float32))
 
     inline_ops = set()
-    stream_front = None
     if args.chunk_data_config and args.chunk_model_config:
-        from tensorflowasr_tpu.serve.multi_session import (
-            BatchingStreamFront, MultiStreamChunkServer, build_stream_ops)
-        from tensorflowasr_tpu.train.chunk_trainer import ChunkTrainer
-        from tensorflowasr_tpu.utils.config import UserConfig
-
-        ccfg = UserConfig(args.chunk_data_config, args.chunk_model_config)
-        cphone_f, cchar_f, _, _, _ = build_featurizers(ccfg)
-        ctrainer = ChunkTrainer(ccfg, cphone_f.num_classes,
-                                cchar_f.num_classes,
-                                compute_dtype=args.compute_dtype)
-        mcfg = ctrainer.model_cfg
-        ctrainer.init_state({
-            "wav": np.zeros((1, mcfg.chunk_samples), np.float32),
-            "extra_phones": np.ones((1, 8), np.int32),
-        })
-        if not ctrainer.restore():
-            logger.warning("no chunk ASR checkpoint; streaming with "
-                           "random init")
-        cvars = {"params": ctrainer.state.params}
-        if ctrainer.state.batch_stats is not None:
-            cvars["batch_stats"] = ctrainer.state.batch_stats
-        msrv = MultiStreamChunkServer(
-            ctrainer.model, cvars, n_slots=args.stream_slots,
-            phone_featurizer=cphone_f, text_featurizer=cchar_f)
-        # compile the batched tick on the MAIN thread: advance-all-False
-        # leaves every slot's state untouched
-        logger.info("compiling %d-slot stream tick...", args.stream_slots)
-        import jax.numpy as _jnp
-        msrv._step(cvars,
-                   _jnp.zeros((args.stream_slots, mcfg.chunk_samples),
-                              _jnp.float32),
-                   msrv.caches,
-                   _jnp.zeros((args.stream_slots,), bool),
-                   _jnp.zeros((args.stream_slots,), bool))
-        stream_front = BatchingStreamFront(msrv,
-                                           max_wait_ms=args.stream_wait_ms)
-        stream_ops = build_stream_ops(stream_front)
+        stream_ops, _ = build_chunk_stream_ops(
+            args.chunk_data_config, args.chunk_model_config,
+            n_slots=args.stream_slots, max_wait_ms=args.stream_wait_ms,
+            compute_dtype=args.compute_dtype)
         ops.update(stream_ops)
         inline_ops = set(stream_ops)
     logger.info("warmup done")
