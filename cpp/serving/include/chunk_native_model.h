@@ -1,0 +1,102 @@
+// Standalone (no-Python) STREAMING ChunkConformer inference engine.
+//
+// Goes beyond the reference's native path (Inference/CppInference runs
+// only the offline 3-graph model chunk-wise): this engine executes the
+// real SMLTA2 chunk-streaming pipeline — 'valid' causal log-mel +
+// subsampling with a mel tail, banded-attention stacks with win_front
+// rings, the CTC feature picker, and the lookahead char decoder — in
+// portable C++ from the raw-tensor artifact written by
+// tensorflowasr_tpu/export/native_export.py::export_native_chunk.
+// Numerics mirror models/chunk_conformer.py in float32; streaming output
+// is checked against the JAX ChunkStreamSession token-for-token in
+// tests/test_native_chunk.py.
+#pragma once
+
+#include <map>
+#include <string>
+#include <vector>
+
+#include "native_model.h"  // asr::Tensor
+
+namespace asr {
+
+struct ChunkStackCfg {
+  int dmodel = 144;
+  int num_blocks = 1;
+  int head_size = 36;
+  int num_heads = 4;
+  int kernel_size = 32;
+  float fc_factor = 0.5f;
+  int win_front = 36;
+  int win_back = 0;
+};
+
+struct ChunkNativeConfig {
+  int dmodel = 144;
+  int reduction_factor = 4;
+  int sample_rate = 16000;
+  int n_mels = 80;
+  int stride_ms = 10;
+  int chunk_num = 16;
+  int n_fft = 1024;
+  int num_phone_classes = 0;
+  int num_char_classes = 0;
+  ChunkStackCfg enc, pk, dec, hlp;
+
+  int hop() const { return sample_rate * stride_ms / 1000; }
+  int chunk_samples() const { return chunk_num * hop(); }
+  int sub_length() const { return chunk_num / reduction_factor; }
+};
+
+// Per-stack streaming state: one [win_front, d] attention ring and one
+// [kernel_size, d] conv ring per block, plus the shared fill counter
+// (models/chunk_conformer.py ChunkStack.stream_call).
+struct StackState {
+  std::vector<Tensor> mha;
+  std::vector<Tensor> cnn;
+  int fill = 0;
+};
+
+struct ChunkStreamState {
+  std::vector<float> wav;  // [chunk_samples] tail
+  Tensor sub;              // [sub_length, n_mels] mel tail
+  StackState enc, pk, hlp, dec;
+  Tensor pk_ring;          // [pk.win_back, d] picker lookahead ring
+  int pk_ring_fill = 0;
+  Tensor dec_ring;         // [dec.win_back, d] decoder lookahead ring
+  int dec_ring_fill = 0;
+};
+
+struct ChunkStepResult {
+  std::vector<int> phone_ids;    // sub_length argmax ids (incl. blanks);
+  int n_final = 0;               // ... of which the LAST n_final are real
+  std::vector<int> char_ids;     // final chars emitted this step
+  std::vector<int> provisional;  // live lookahead chars (replace previous
+                                 // when picked_any)
+  bool picked_any = false;
+};
+
+class ChunkNativeModel {
+ public:
+  // Loads manifest.txt (kind chunk) + weights.bin from `artifact_dir`.
+  bool Load(const std::string& dir);
+  const ChunkNativeConfig& config() const { return cfg_; }
+
+  ChunkStreamState InitState() const;
+  // Process exactly chunk_samples() samples.
+  ChunkStepResult Step(ChunkStreamState* st, const float* chunk) const;
+
+ private:
+  const Tensor& get(const std::string& name) const;
+  Tensor FrontStep(ChunkStreamState* st, const float* chunk) const;
+  Tensor StackStream(const std::string& prefix, const ChunkStackCfg& c,
+                     StackState* st, const Tensor& x, int skip) const;
+  void BlockStream(const std::string& prefix, const ChunkStackCfg& c,
+                   Tensor* x, Tensor* mha_cache, Tensor* cnn_cache,
+                   int fill, int skip, int n_keep) const;
+
+  std::map<std::string, Tensor> tensors_;
+  ChunkNativeConfig cfg_;
+};
+
+}  // namespace asr

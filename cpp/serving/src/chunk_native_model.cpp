@@ -1,0 +1,556 @@
+#include "chunk_native_model.h"
+
+#include <cmath>
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <sstream>
+
+#include "native_math.h"
+
+namespace asr {
+
+using namespace asr::math;
+
+namespace {
+
+// buffer_validity (chunk_conformer.py:169-184), B=1:
+// slot j of [cache_len + t] holds a REAL frame?
+inline bool SlotValid(int j, int cache_len, int t, int fill, int skip) {
+  (void)t;
+  const int f = std::min(fill, cache_len);
+  if (j < cache_len - f) return false;                  // zero-init prefix
+  if (j >= cache_len && j < cache_len + skip) return false;  // ring garbage
+  return true;
+}
+
+// Right-aligned lookahead ring feed (ChunkConformer._ring_feed), B=1.
+// x_out = [wb + t, d]; returns skip; updates ring/fill; n_final out.
+Tensor RingFeed(Tensor* ring, int* ring_fill, const Tensor& fresh, int wb,
+                int* skip, int* n_final) {
+  const int t = fresh.dim(0);
+  if (wb == 0) {
+    *skip = 0;
+    *n_final = t;
+    return fresh;
+  }
+  const int d = fresh.dim(1);
+  Tensor x;
+  x.shape = {wb + t, d};
+  x.data.resize((long)(wb + t) * d);
+  std::memcpy(x.data.data(), ring->data.data(), sizeof(float) * wb * d);
+  std::memcpy(x.data.data() + (long)wb * d, fresh.data.data(),
+              sizeof(float) * t * d);
+  *skip = wb - std::min(*ring_fill, wb);
+  // new ring = last wb rows of x
+  std::memcpy(ring->data.data(), x.data.data() + (long)t * d,
+              sizeof(float) * wb * d);
+  *ring_fill = std::min(*ring_fill + t, wb);
+  *n_final = std::max(t - *skip, 0);
+  return x;
+}
+
+Tensor ZerosT(int t, int d) {
+  Tensor z;
+  z.shape = {t, d};
+  z.data.assign((long)t * d, 0.0f);
+  return z;
+}
+
+// conv2d 3x3 VALID stride (st, sf) + relu; x [T, F, Cin], kernel
+// [3, 3, Cin, Cout] (flax layout).
+Tensor Conv2dValidRelu(const Tensor& x, const Tensor& kernel,
+                       const Tensor& bias, int st, int sf) {
+  const int t = x.dim(0), f = x.dim(1), cin = x.dim(2);
+  const int kh = kernel.dim(0), kw = kernel.dim(1);
+  const int cout = kernel.dim(3);
+  const int ot = (t - kh) / st + 1, of = (f - kw) / sf + 1;
+  Tensor y;
+  y.shape = {ot, of, cout};
+  y.data.assign((long)ot * of * cout, 0.0f);
+  for (int i = 0; i < ot; ++i)
+    for (int j = 0; j < of; ++j) {
+      float* out = y.data.data() + ((long)i * of + j) * cout;
+      for (int a = 0; a < kh; ++a) {
+        const int ti = i * st + a;
+        for (int b = 0; b < kw; ++b) {
+          const int fj = j * sf + b;
+          const float* xin = x.data.data() + ((long)ti * f + fj) * cin;
+          const float* w =
+              kernel.data.data() + (((long)a * kw + b) * cin) * cout;
+          for (int ci = 0; ci < cin; ++ci)
+            for (int co = 0; co < cout; ++co)
+              out[co] += xin[ci] * w[ci * cout + co];
+        }
+      }
+      for (int co = 0; co < cout; ++co)
+        out[co] = std::max(out[co] + bias.data[co], 0.0f);
+    }
+  return y;
+}
+
+int ArgMaxRow(const float* row, int n) {
+  int best = 0;
+  for (int j = 1; j < n; ++j)
+    if (row[j] > row[best]) best = j;
+  return best;
+}
+
+}  // namespace
+
+const Tensor& ChunkNativeModel::get(const std::string& name) const {
+  auto it = tensors_.find(name);
+  if (it == tensors_.end()) {
+    std::fprintf(stderr, "chunk_native_model: missing tensor %s\n",
+                 name.c_str());
+    static Tensor empty;
+    return empty;
+  }
+  return it->second;
+}
+
+bool ChunkNativeModel::Load(const std::string& dir) {
+  std::ifstream mf(dir + "/manifest.txt");
+  if (!mf) return false;
+  std::ifstream wf(dir + "/weights.bin", std::ios::binary);
+  if (!wf) return false;
+
+  bool is_chunk = false;
+  std::string line;
+  while (std::getline(mf, line)) {
+    std::istringstream ss(line);
+    std::string kind;
+    ss >> kind;
+    if (kind == "config") {
+      std::string key, value;
+      ss >> key >> value;
+      auto stk = [&](const char* p, ChunkStackCfg* c) {
+        const std::string pre(p);
+        if (key == pre + "_dmodel") c->dmodel = std::stoi(value);
+        else if (key == pre + "_num_blocks") c->num_blocks = std::stoi(value);
+        else if (key == pre + "_head_size") c->head_size = std::stoi(value);
+        else if (key == pre + "_num_heads") c->num_heads = std::stoi(value);
+        else if (key == pre + "_kernel_size")
+          c->kernel_size = std::stoi(value);
+        else if (key == pre + "_fc_factor") c->fc_factor = std::stof(value);
+        else if (key == pre + "_win_front") c->win_front = std::stoi(value);
+        else if (key == pre + "_win_back") c->win_back = std::stoi(value);
+      };
+      if (key == "kind") is_chunk = (value == "chunk");
+      else if (key == "dmodel") cfg_.dmodel = std::stoi(value);
+      else if (key == "reduction_factor")
+        cfg_.reduction_factor = std::stoi(value);
+      else if (key == "sample_rate") cfg_.sample_rate = std::stoi(value);
+      else if (key == "n_mels") cfg_.n_mels = std::stoi(value);
+      else if (key == "stride_ms") cfg_.stride_ms = std::stoi(value);
+      else if (key == "chunk_num") cfg_.chunk_num = std::stoi(value);
+      else if (key == "n_fft") cfg_.n_fft = std::stoi(value);
+      else if (key == "num_phone_classes")
+        cfg_.num_phone_classes = std::stoi(value);
+      else if (key == "num_char_classes")
+        cfg_.num_char_classes = std::stoi(value);
+      else {
+        stk("enc", &cfg_.enc);
+        stk("pk", &cfg_.pk);
+        stk("dec", &cfg_.dec);
+        stk("hlp", &cfg_.hlp);
+      }
+    } else if (kind == "tensor") {
+      std::string name;
+      long offset;
+      int ndim;
+      ss >> name >> offset >> ndim;
+      Tensor t;
+      long n = 1;
+      for (int i = 0; i < ndim; ++i) {
+        int d;
+        ss >> d;
+        t.shape.push_back(d);
+        n *= d;
+      }
+      if (ndim == 0) t.shape.push_back(1), n = 1;
+      t.data.resize(n);
+      wf.seekg(offset);
+      wf.read(reinterpret_cast<char*>(t.data.data()), n * sizeof(float));
+      if (!wf) return false;
+      tensors_.emplace(std::move(name), std::move(t));
+    }
+  }
+  return is_chunk && cfg_.num_phone_classes > 0;
+}
+
+ChunkStreamState ChunkNativeModel::InitState() const {
+  ChunkStreamState st;
+  st.wav.assign(cfg_.chunk_samples(), 0.0f);
+  st.sub = ZerosT(cfg_.sub_length(), cfg_.n_mels);
+  auto stack = [](const ChunkStackCfg& c) {
+    StackState s;
+    for (int i = 0; i < c.num_blocks; ++i) {
+      s.mha.push_back(ZerosT(c.win_front, c.dmodel));
+      s.cnn.push_back(ZerosT(c.kernel_size, c.dmodel));
+    }
+    return s;
+  };
+  st.enc = stack(cfg_.enc);
+  st.pk = stack(cfg_.pk);
+  st.hlp = stack(cfg_.hlp);
+  st.dec = stack(cfg_.dec);
+  st.pk_ring = ZerosT(std::max(cfg_.pk.win_back, 1), cfg_.dmodel);
+  st.dec_ring = ZerosT(std::max(cfg_.dec.win_back, 1), cfg_.dmodel);
+  return st;
+}
+
+// -- front --------------------------------------------------------------
+
+Tensor ChunkNativeModel::FrontStep(ChunkStreamState* st,
+                                   const float* chunk) const {
+  const int cs = cfg_.chunk_samples();
+  const int hop = cfg_.hop();
+  const int n_fft = cfg_.n_fft;
+  const int n_freq = n_fft / 2 + 1;
+  const int n_mels = cfg_.n_mels;
+
+  // 2-chunk window: [wav tail | new chunk]
+  std::vector<float> full(2 * cs);
+  std::memcpy(full.data(), st->wav.data(), sizeof(float) * cs);
+  std::memcpy(full.data() + cs, chunk, sizeof(float) * cs);
+  std::memcpy(st->wav.data(), chunk, sizeof(float) * cs);
+
+  // 'valid' causal framing: frame i = samples [i*hop - (n_fft-1),
+  // i*hop], left zero-padded (ops/frontend.py frame_signal 'valid');
+  // n_frames = ceil(T/hop); keep the last chunk_num.
+  const int total = 2 * cs;
+  const int frames_all = (total + hop - 1) / hop;
+  const int t = cfg_.chunk_num;
+  const int first = frames_all - t;
+  const Tensor& dft = get("frontend/dft");       // [n_fft, 2*n_freq]
+  const Tensor& fb = get("frontend/freq2mel");   // [n_freq, n_mels]
+  Tensor mel;
+  mel.shape = {t, n_mels};
+  mel.data.assign((long)t * n_mels, 0.0f);
+  std::vector<float> frame(n_fft), spec(2 * n_freq), db(n_freq);
+  const float inv_ln10 = 1.0f / std::log(10.0f);
+  for (int f = 0; f < t; ++f) {
+    const int end = (first + f) * hop;           // inclusive frame end
+    const int start = end - (n_fft - 1);
+    for (int i = 0; i < n_fft; ++i) {
+      const int s = start + i;
+      frame[i] = (s >= 0 && s < total) ? full[s] : 0.0f;
+    }
+    MatMul(frame.data(), dft.data.data(), spec.data(), 1, n_fft,
+           2 * n_freq);
+    // plain log10 power — the causal chunk variant has NO max-norm
+    // (ops/frontend.py chunk_amplitude_to_db)
+    for (int j = 0; j < n_freq; ++j) {
+      const float re = spec[j], im = spec[n_freq + j];
+      db[j] = std::log(std::max(re * re + im * im, 1e-10f)) * inv_ln10;
+    }
+    MatMul(db.data(), fb.data.data(), mel.data.data() + (long)f * n_mels,
+           1, n_freq, n_mels);
+  }
+
+  // subsampling on [mel tail | new mel], freq pad [2, 2], two VALID convs
+  const int sl = cfg_.sub_length();
+  const int tt = sl + t;
+  Tensor x;
+  x.shape = {tt, n_mels + 4, 1};
+  x.data.assign((long)tt * (n_mels + 4), 0.0f);
+  for (int i = 0; i < tt; ++i) {
+    const float* src = (i < sl)
+                           ? st->sub.data.data() + (long)i * n_mels
+                           : mel.data.data() + (long)(i - sl) * n_mels;
+    std::memcpy(x.data.data() + ((long)i * (n_mels + 4) + 2), src,
+                sizeof(float) * n_mels);
+  }
+  // new mel tail = last sl rows of [tail | mel]
+  Tensor new_sub = ZerosT(sl, n_mels);
+  for (int i = 0; i < sl; ++i) {
+    const int j = tt - sl + i;
+    const float* src = (j < sl)
+                           ? st->sub.data.data() + (long)j * n_mels
+                           : mel.data.data() + (long)(j - sl) * n_mels;
+    std::memcpy(new_sub.data.data() + (long)i * n_mels, src,
+                sizeof(float) * n_mels);
+  }
+  st->sub = std::move(new_sub);
+
+  const std::string p = "params/front/conv_subsampling/";
+  x = Conv2dValidRelu(x, get(p + "conv1/kernel"), get(p + "conv1/bias"),
+                      cfg_.reduction_factor / 2, 2);
+  x = Conv2dValidRelu(x, get(p + "conv2/kernel"), get(p + "conv2/bias"),
+                      2, 2);
+  const int xt = x.dim(0);
+  x.shape = {xt, x.dim(1) * x.dim(2)};
+  x = Dense(x, get(p + "linear/kernel"), get(p + "linear/bias"));
+  // keep the last sub_length frames
+  Tensor out;
+  out.shape = {sl, x.dim(1)};
+  out.data.assign(x.data.end() - (long)sl * x.dim(1), x.data.end());
+  return out;
+}
+
+// -- chunk block (streaming) ---------------------------------------------
+
+void ChunkNativeModel::BlockStream(const std::string& prefix,
+                                   const ChunkStackCfg& c, Tensor* x,
+                                   Tensor* mha_cache, Tensor* cnn_cache,
+                                   int fill, int skip, int n_keep) const {
+  const std::string p = "params/" + prefix + "/";
+  const int d = x->shape.back();
+  const int t = x->dim(0);
+
+  auto ff = [&](const std::string& mod) {
+    Tensor y = *x;
+    LayerNormIp(&y, get(p + mod + "/ln/scale"), get(p + mod + "/ln/bias"));
+    y = Dense(y, get(p + mod + "/ffn1/kernel"), get(p + mod + "/ffn1/bias"));
+    for (auto& v : y.data) v = Swish(v);
+    y = Dense(y, get(p + mod + "/ffn2/kernel"), get(p + mod + "/ffn2/bias"));
+    for (long i = 0; i < x->size(); ++i)
+      x->data[i] += c.fc_factor * y.data[i];
+  };
+
+  // advance-ring update: append x[:n_keep] (rows < skip zeroed), keep tail
+  auto advance = [&](Tensor* cache, int win) {
+    const int keep = std::max(n_keep, 0);
+    Tensor nc = ZerosT(win, d);
+    // concat(cache[win], appended[keep]) -> last win rows
+    for (int i = 0; i < win; ++i) {
+      const int j = win + keep - win + i;   // index into concat, offset win
+      // concat index = i + keep; if < win it's from cache, else appended
+      const int src = i + keep;
+      float* dst = nc.data.data() + (long)i * d;
+      if (src < win) {
+        std::memcpy(dst, cache->data.data() + (long)src * d,
+                    sizeof(float) * d);
+      } else {
+        const int r = src - win;            // appended row index
+        if (r >= skip)
+          std::memcpy(dst, x->data.data() + (long)r * d, sizeof(float) * d);
+      }
+      (void)j;
+    }
+    *cache = std::move(nc);
+  };
+
+  ff("ff_module_1");
+
+  // MHSA with banded mask over [cache | x] (stream_band_mask)
+  {
+    const int wf = c.win_front;
+    const int L = wf + t;
+    Tensor full;
+    full.shape = {L, d};
+    full.data.resize((long)L * d);
+    std::memcpy(full.data.data(), mha_cache->data.data(),
+                sizeof(float) * wf * d);
+    std::memcpy(full.data.data() + (long)wf * d, x->data.data(),
+                sizeof(float) * t * d);
+    advance(mha_cache, wf);                 // cache stores pre-LN inputs
+
+    Tensor y = full;
+    LayerNormIp(&y, get(p + "mhsa/ln/scale"), get(p + "mhsa/ln/bias"));
+    const int h = c.num_heads, hs = c.head_size;
+    const std::string a = p + "mhsa/mha/";
+    auto proj = [&](const Tensor& inp, const char* name) {
+      Tensor kern = get(a + name + "/kernel");
+      Tensor bias = get(a + name + "/bias");
+      Tensor k2;
+      k2.shape = {kern.dim(0), kern.dim(1) * kern.dim(2)};
+      k2.data = kern.data;
+      Tensor b2;
+      b2.shape = {bias.dim(0) * bias.dim(1)};
+      b2.data = bias.data;
+      return Dense(inp, k2, b2);
+    };
+    Tensor q0 = proj(y, "query"), k0 = proj(y, "key"), v0 = proj(y, "value");
+    const float scale = 1.0f / std::sqrt((float)hs);
+    Tensor ctx;
+    ctx.shape = {t, h * hs};
+    ctx.data.assign((long)t * h * hs, 0.0f);
+    std::vector<float> scores(L);
+    std::vector<char> valid(L);
+    for (int j = 0; j < L; ++j)
+      valid[j] = SlotValid(j, wf, t, fill, skip) ? 1 : 0;
+    for (int head = 0; head < h; ++head) {
+      for (int qi = 0; qi < t; ++qi) {
+        // band for local query index p = wf + qi (stream_band_mask)
+        const int pq = wf + qi;
+        int low = std::max(pq - wf, 0);
+        int high = std::min(pq + c.win_back, L);
+        low -= std::max(low - (L - c.win_back), 0);
+        high += std::max(c.win_back - high, 0);
+        const float* qv =
+            q0.data.data() + (long)(wf + qi) * h * hs + head * hs;
+        for (int j = 0; j < L; ++j) {
+          const bool ok = valid[j] && j >= low && j <= high;
+          if (!ok) {
+            scores[j] = -1e30f;
+            continue;
+          }
+          const float* kj = k0.data.data() + (long)j * h * hs + head * hs;
+          float s = 0;
+          for (int e = 0; e < hs; ++e) s += qv[e] * kj[e];
+          scores[j] = s * scale;
+        }
+        SoftmaxRow(scores.data(), L);
+        float* out = ctx.data.data() + (long)qi * h * hs + head * hs;
+        for (int j = 0; j < L; ++j) {
+          const float w = scores[j];
+          if (w == 0.0f) continue;
+          const float* vj = v0.data.data() + (long)j * h * hs + head * hs;
+          for (int e = 0; e < hs; ++e) out[e] += w * vj[e];
+        }
+      }
+    }
+    Tensor ok = get(a + "out/kernel");
+    Tensor ok2;
+    ok2.shape = {ok.dim(0) * ok.dim(1), ok.dim(2)};
+    ok2.data = ok.data;
+    Tensor o = Dense(ctx, ok2, get(a + "out/bias"));
+    for (long i = 0; i < x->size(); ++i) x->data[i] += o.data[i];
+  }
+
+  // causal conv module over [cache | x]
+  {
+    const int k = c.kernel_size;
+    const int L = k + t;
+    const std::string m = p + "conv_module/";
+    Tensor full;
+    full.shape = {L, d};
+    full.data.resize((long)L * d);
+    std::memcpy(full.data.data(), cnn_cache->data.data(),
+                sizeof(float) * k * d);
+    std::memcpy(full.data.data() + (long)k * d, x->data.data(),
+                sizeof(float) * t * d);
+    advance(cnn_cache, k);                  // cache stores module inputs
+
+    Tensor y = full;
+    LayerNormIp(&y, get(m + "ln/scale"), get(m + "ln/bias"));
+    y = Dense(y, get(m + "pw_conv_1/kernel"), get(m + "pw_conv_1/bias"));
+    // GLU + zero invalid slots (== offline causal zero pad at conv input)
+    Tensor g = ZerosT(L, d);
+    for (int i = 0; i < L; ++i) {
+      if (!SlotValid(i, k, t, fill, skip)) continue;
+      for (int j = 0; j < d; ++j)
+        g.data[(long)i * d + j] =
+            y.data[(long)i * 2 * d + j] *
+            Sigmoid(y.data[(long)i * 2 * d + d + j]);
+    }
+    // depthwise causal conv, pad (k-1) left, keep last t rows
+    const Tensor& kern = get(m + "dw_conv/kernel");  // [k, 1, d]
+    const Tensor& dbias = get(m + "dw_conv/bias");
+    Tensor z = ZerosT(t, d);
+    for (int i = 0; i < t; ++i) {
+      float* zi = z.data.data() + (long)i * d;
+      const int pos = k + i;                 // output row in full coords
+      for (int a2 = 0; a2 < k; ++a2) {
+        const int ti = pos - (k - 1) + a2;
+        if (ti < 0 || ti >= L) continue;
+        const float* gi = g.data.data() + (long)ti * d;
+        const float* w = kern.data.data() + (long)a2 * d;
+        for (int j = 0; j < d; ++j) zi[j] += gi[j] * w[j];
+      }
+      for (int j = 0; j < d; ++j) zi[j] += dbias.data[j];
+    }
+    Tensor y2 = Dense(z, get(m + "dw_pw/kernel"), get(m + "dw_pw/bias"));
+    {
+      const std::string bs = "batch_stats/" + prefix + "/conv_module/bn/";
+      const Tensor& mean = get(bs + "mean");
+      const Tensor& var = get(bs + "var");
+      const Tensor& scale = get(m + "bn/scale");
+      const Tensor& bias = get(m + "bn/bias");
+      const int n = y2.shape.back();
+      for (int i = 0; i < t; ++i)
+        for (int j = 0; j < n; ++j) {
+          float& v = y2.data[(long)i * n + j];
+          v = (v - mean.data[j]) /
+                  std::sqrt(var.data[j] + kBnEps) * scale.data[j] +
+              bias.data[j];
+          v = Swish(v);
+        }
+    }
+    y2 = Dense(y2, get(m + "pw_conv_2/kernel"), get(m + "pw_conv_2/bias"));
+    for (long i = 0; i < x->size(); ++i) x->data[i] += y2.data[i];
+  }
+
+  ff("ff_module_2");
+  LayerNormIp(x, get(p + "ln/scale"), get(p + "ln/bias"));
+}
+
+Tensor ChunkNativeModel::StackStream(const std::string& prefix,
+                                     const ChunkStackCfg& c, StackState* st,
+                                     const Tensor& x, int skip) const {
+  const int t = x.dim(0);
+  const int n_keep = t - c.win_back;
+  Tensor cur = x;
+  for (int i = 0; i < c.num_blocks; ++i)
+    BlockStream(prefix + "/block_" + std::to_string(i), c, &cur,
+                &st->mha[i], &st->cnn[i], st->fill, skip, n_keep);
+  st->fill += std::max(n_keep - skip, 0);
+  return cur;
+}
+
+// -- fused streaming step --------------------------------------------------
+
+ChunkStepResult ChunkNativeModel::Step(ChunkStreamState* st,
+                                       const float* chunk) const {
+  ChunkStepResult res;
+  const int t = cfg_.sub_length();
+  const int blank = cfg_.num_phone_classes - 1;
+
+  Tensor front_out = FrontStep(st, chunk);
+  Tensor enc_out = StackStream("encoder", cfg_.enc, &st->enc, front_out, 0);
+
+  int skip = 0, n_final = 0;
+  Tensor xin = RingFeed(&st->pk_ring, &st->pk_ring_fill, enc_out,
+                        cfg_.pk.win_back, &skip, &n_final);
+  Tensor proj = Dense(xin, get("params/phone_picker/project/kernel"),
+                      get("params/phone_picker/project/bias"));
+  Tensor hidden =
+      StackStream("phone_picker/stack", cfg_.pk, &st->pk, proj, skip);
+  Tensor logits = Dense(hidden, get("params/phone_picker/fully_connected/kernel"),
+                        get("params/phone_picker/fully_connected/bias"));
+  // first t rows are this step's slots; last n_final of them are real
+  res.n_final = n_final;
+  const int vp = logits.dim(1);
+  for (int f = 0; f < t; ++f)
+    res.phone_ids.push_back(
+        ArgMaxRow(logits.data.data() + (long)f * vp, vp));
+
+  const int wb = cfg_.dec.win_back;
+  const int d = cfg_.dmodel;
+  const int vc = cfg_.num_char_classes;
+  for (int f = 0; f < t; ++f) {
+    const bool valid = f >= t - n_final;
+    const bool keep = valid && res.phone_ids[f] != blank;
+    if (!keep) continue;
+    res.picked_any = true;
+    Tensor hf;
+    hf.shape = {1, d};
+    hf.data.assign(hidden.data.data() + (long)f * hidden.dim(1),
+                   hidden.data.data() + (long)f * hidden.dim(1) + d);
+    Tensor helper_out =
+        StackStream("helper/stack", cfg_.hlp, &st->hlp, hf, 0);
+    int skip2 = 0, nf2 = 0;
+    Tensor x2 = RingFeed(&st->dec_ring, &st->dec_ring_fill, helper_out, wb,
+                         &skip2, &nf2);
+    Tensor p2 = Dense(x2, get("params/decoder/project/kernel"),
+                      get("params/decoder/project/bias"));
+    Tensor dout = StackStream("decoder/stack", cfg_.dec, &st->dec, p2, skip2);
+    Tensor lg = Dense(dout, get("params/decoder/fully_connected/kernel"),
+                      get("params/decoder/fully_connected/bias"));
+    if (nf2 > 0)
+      res.char_ids.push_back(ArgMaxRow(lg.data.data(), vc));
+    if (wb > 0) {
+      res.provisional.clear();
+      for (int j = 0; j < wb; ++j) {
+        if (j < wb - st->dec_ring_fill) continue;   // not yet filled
+        res.provisional.push_back(
+            ArgMaxRow(lg.data.data() + (long)(1 + j) * vc, vc));
+      }
+    }
+  }
+  return res;
+}
+
+}  // namespace asr

@@ -22,6 +22,10 @@ from tensorflowasr_tpu.cli.common import (
 def main(argv=None) -> int:
     parser = config_parser(__doc__)
     parser.add_argument("--wav", required=True)
+    parser.add_argument("--export_native", default=None, metavar="DIR",
+                        help="also write the raw-tensor artifact for the "
+                             "standalone C++ chunk-streaming engine "
+                             "(cpp/serving asr_chunk) to DIR")
     args = parser.parse_args(argv)
     config = load_config(args)
     phone_f, char_f, _, _, _ = build_featurizers(config)
@@ -50,6 +54,16 @@ def main(argv=None) -> int:
     variables = {"params": trainer.state.params}
     if trainer.state.batch_stats is not None:
         variables["batch_stats"] = trainer.state.batch_stats
+
+    if args.export_native:
+        from tensorflowasr_tpu.export.native_export import (
+            export_native_chunk)
+
+        export_native_chunk(
+            trainer.model, variables, args.export_native,
+            phone_vocab=(config.section("inp_config") or {})["vocabulary"],
+            char_vocab=(config.section("tar_config") or {})["vocabulary"])
+        print(f"native chunk artifact written to {args.export_native}")
 
     # offline decode
     char_ids, char_lens, ph_ids, ph_lens = trainer.predict_step(

@@ -128,3 +128,106 @@ def export_native(model: ConformerCTC, variables: dict, outdir: str,
     for src, dst in ((phone_vocab, "phones.txt"), (char_vocab, "chars.txt")):
         if src:
             shutil.copyfile(src, os.path.join(outdir, dst))
+
+
+def _unstack_chunk_stack(tree: dict) -> dict:
+    """scan_layers stack subtree {'block': stacked [L, ...]} ->
+    {'block_{i}': ...} (the layout the C++ engine reads)."""
+    import jax
+
+    if "block" not in tree:
+        return tree
+    out = {k: v for k, v in tree.items() if k != "block"}
+    stacked = tree["block"]
+    n = jax.tree.leaves(stacked)[0].shape[0]
+    for i in range(n):
+        out[f"block_{i}"] = jax.tree.map(lambda x: x[i], stacked)
+    return out
+
+
+def export_native_chunk(model, variables: dict, outdir: str,
+                        phone_vocab: str = None,
+                        char_vocab: str = None) -> None:
+    """Write the native artifact for the STREAMING ChunkConformer pipeline
+    (consumed by cpp/serving/src/chunk_native_model.cpp — standalone C++
+    chunk streaming, beyond the reference's offline-only native session)."""
+    c = model.cfg
+    os.makedirs(outdir, exist_ok=True)
+
+    params = dict(variables["params"])
+    batch_stats = variables.get("batch_stats")
+
+    def unstack_all(tree):
+        tree = dict(tree)
+        if "encoder" in tree:
+            tree["encoder"] = _unstack_chunk_stack(dict(tree["encoder"]))
+        for mod in ("phone_picker", "decoder", "helper"):
+            if mod in tree and "stack" in tree[mod]:
+                sub = dict(tree[mod])
+                sub["stack"] = _unstack_chunk_stack(dict(sub["stack"]))
+                tree[mod] = sub
+        return tree
+
+    params = unstack_all(params)
+    if batch_stats:
+        batch_stats = unstack_all(dict(batch_stats))
+
+    tensors: List[Tuple[str, np.ndarray]] = []
+    tensors.extend(_flatten(params, "params/"))
+    if batch_stats:
+        tensors.extend(_flatten(batch_stats, "batch_stats/"))
+
+    fcfg = fe.LogMelFrontendConfig(
+        sample_rate=c.sample_rate, n_fft=1024, stride_ms=c.stride_ms,
+        n_mels=c.n_mels, padding="valid")
+    dft, fb = fe._frontend_constants(fcfg)
+    tensors.append(("frontend/dft", dft))
+    if c.mel_layer_trainable and "front" in params and \
+            "freq2mel" in params.get("front", {}):
+        fb = np.asarray(params["front"]["freq2mel"])
+    tensors.append(("frontend/freq2mel", fb))
+
+    config = {
+        "kind": "chunk",
+        "dmodel": c.dmodel, "reduction_factor": c.reduction_factor,
+        "sample_rate": c.sample_rate, "n_mels": c.n_mels,
+        "stride_ms": c.stride_ms, "chunk_num": c.chunk_num, "n_fft": 1024,
+        "num_phone_classes": model.num_phone_classes,
+        "num_char_classes": model.num_char_classes,
+    }
+    for name, st in (("enc", c.encoder), ("pk", c.picker),
+                     ("dec", c.decoder), ("hlp", c.helper)):
+        config.update({
+            f"{name}_dmodel": st.dmodel,
+            f"{name}_num_blocks": st.num_blocks,
+            f"{name}_head_size": st.head_size,
+            f"{name}_num_heads": st.num_heads,
+            f"{name}_kernel_size": st.kernel_size,
+            f"{name}_fc_factor": st.fc_factor,
+            f"{name}_win_front": st.win_front,
+            f"{name}_win_back": st.win_back,
+        })
+
+    manifest: Dict = {"config": config, "tensors": []}
+    offset = 0
+    with open(os.path.join(outdir, "weights.bin"), "wb") as f:
+        for name, arr in tensors:
+            arr = np.ascontiguousarray(arr, dtype=np.float32)
+            manifest["tensors"].append(
+                {"name": name, "shape": list(arr.shape), "offset": offset})
+            f.write(arr.tobytes())
+            offset += arr.nbytes
+    with open(os.path.join(outdir, "manifest.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(manifest, f, indent=1)
+    with open(os.path.join(outdir, "manifest.txt"), "w",
+              encoding="utf-8") as f:
+        for k, v in manifest["config"].items():
+            f.write(f"config {k} {v}\n")
+        for t in manifest["tensors"]:
+            dims = " ".join(str(d) for d in t["shape"])
+            f.write(f"tensor {t['name']} {t['offset']} "
+                    f"{len(t['shape'])} {dims}\n")
+    for src, dst in ((phone_vocab, "phones.txt"), (char_vocab, "chars.txt")):
+        if src:
+            shutil.copyfile(src, os.path.join(outdir, dst))

@@ -1,0 +1,96 @@
+"""Standalone native CHUNK-STREAMING engine parity: export a tiny
+ChunkConformer, stream a wav through the C++ `asr_chunk` binary (no
+Python at runtime), and require token-for-token agreement with the JAX
+ChunkStreamSession."""
+
+import os
+import shutil
+import subprocess
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.test_chunk import N_CHAR, N_PHONE, tiny_cfg
+from tensorflowasr_tpu.models.chunk_conformer import ChunkConformer
+from tensorflowasr_tpu.export.native_export import export_native_chunk
+from tensorflowasr_tpu.serve.chunk_session import ChunkStreamSession
+from tensorflowasr_tpu.utils.audio import write_wav
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CPP_DIR = os.path.join(REPO, "cpp", "serving")
+
+
+@pytest.fixture(scope="module")
+def cpp_build(tmp_path_factory):
+    if shutil.which("cmake") is None:
+        pytest.skip("cmake not available")
+    build = str(tmp_path_factory.mktemp("cppbuild"))
+    gen = ["-G", "Ninja"] if shutil.which("ninja") else []
+    subprocess.run(["cmake", "-S", CPP_DIR, "-B", build] + gen,
+                   check=True, capture_output=True)
+    subprocess.run(["cmake", "--build", build], check=True,
+                   capture_output=True)
+    return build
+
+
+@pytest.mark.parametrize("picker_wb", [0, 2])
+def test_native_chunk_stream_parity(cpp_build, tmp_path, picker_wb):
+    import dataclasses
+
+    cfg = tiny_cfg()
+    if picker_wb:
+        cfg = dataclasses.replace(
+            cfg, picker=dataclasses.replace(cfg.picker, win_back=picker_wb))
+    model = ChunkConformer(cfg, N_PHONE, N_CHAR)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.chunk_samples), jnp.float32),
+        jnp.ones((1, 4), jnp.int32), 8, False,
+        method=ChunkConformer.train_forward)
+
+    artifact = tmp_path / "artifact"
+    phone_vocab = tmp_path / "phones.txt"
+    phone_vocab.write_text("\n".join(f"p{i}" for i in range(N_PHONE - 1)),
+                           encoding="utf-8")
+    char_vocab = tmp_path / "chars.txt"
+    tokens = ["<S>", "</S>"] + [f"c{i}" for i in range(N_CHAR - 3)]
+    char_vocab.write_text("\n".join(tokens), encoding="utf-8")
+    export_native_chunk(model, variables, str(artifact),
+                        phone_vocab=str(phone_vocab),
+                        char_vocab=str(char_vocab))
+
+    rng = np.random.default_rng(11)
+    wav = rng.standard_normal((4 * cfg.chunk_samples,)).astype(
+        np.float32) * 0.1
+    wav_path = tmp_path / "utt.wav"
+    write_wav(str(wav_path), wav, cfg.sample_rate)
+
+    # JAX reference decode (through the round-tripped wav so both engines
+    # consume identical samples)
+    from tensorflowasr_tpu.utils.audio import read_wav
+    wav_rt, _ = read_wav(str(wav_path), target_sr=cfg.sample_rate)
+    sess = ChunkStreamSession(model, variables)
+    sess.feed(wav_rt)
+    want = sess.flush()
+
+    out = subprocess.run(
+        [os.path.join(cpp_build, "asr_chunk"), str(artifact),
+         str(wav_path), "--quiet"],
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr
+
+    lines = {ln.split("]")[0][1:]: ln.split("]", 1)[1].strip()
+             for ln in out.stdout.splitlines() if ln.startswith("[")}
+    got_phones = lines.get("phones", "").split()
+    got_chars = [int(x) for x in lines.get("chars", "").split()]
+
+    want_phones = [f"p{i}" for i in want["phone_ids"]]
+    assert got_phones == want_phones, (got_phones, want_phones)
+    assert got_chars == want["char_ids"], (got_chars, want["char_ids"])
+
+    # text line must match the tokener mapping of the char ids
+    want_text = "".join(tokens[i] for i in want["char_ids"]
+                        if tokens[i] not in ("<S>", "</S>"))
+    assert lines.get("final", "") == want_text
