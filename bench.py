@@ -11,7 +11,11 @@
 3. chunk_stream_rtf_wall — same loop but with the serving session's
    per-chunk host fetch included (includes tunnel RTT when the chip is
    remote; colocated serving sits between this and the compute number).
-4. train_audio_sec_per_s — full-size DP training step (B=128, bf16, 8 s
+4. stream_capacity_streams_per_chip — batched_stream_step over a 64-slot
+   pool (MultiStreamChunkServer's serving form): concurrent real-time
+   streams one chip sustains. Baseline: the reference serves 1 stream
+   per CPU core at RTF 0.1 => ~10 streams/core.
+5. train_audio_sec_per_s — full-size DP training step (B=128, bf16, 8 s
    utterances, donated state): audio seconds consumed per wall second on
    one chip. The reference publishes no training throughput, so
    vs_baseline is null.
@@ -181,6 +185,67 @@ def bench_chunk_stream():
           0.1 / (best / chunk_s))
 
 
+def bench_stream_capacity():
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from tensorflowasr_tpu.models.chunk_conformer import (
+        ChunkConformer, ChunkConformerConfig)
+
+    base = ChunkConformerConfig(dtype_str="bfloat16")
+    cfg = dataclasses.replace(
+        base,
+        encoder=dataclasses.replace(base.encoder, scan_layers=True),
+        picker=dataclasses.replace(base.picker, scan_layers=True),
+        decoder=dataclasses.replace(base.decoder, scan_layers=True),
+        helper=dataclasses.replace(base.helper, scan_layers=True))
+    n_phone, n_char = 231, 9161
+    model = ChunkConformer(cfg, n_phone, n_char)
+
+    n_streams = 64  # MultiStreamChunkServer's published slot-pool size
+    rng = np.random.default_rng(0)
+    chunks = jnp.asarray(rng.standard_normal(
+        (n_streams, cfg.chunk_samples)).astype(np.float32) * 0.1)
+    variables = model.init(
+        jax.random.PRNGKey(0), chunks[:1], jnp.ones((1, 4), jnp.int32), 8,
+        False, method=ChunkConformer.train_forward)
+
+    @jax.jit
+    def tick(v, chunks, caches):
+        phone_ids, char_ids, prov_ids, n_final, new = model.apply(
+            v, chunks, caches, method=ChunkConformer.batched_stream_step)
+        packed = (jnp.sum(phone_ids) + jnp.sum(char_ids) +
+                  jnp.sum(prov_ids) + jnp.sum(n_final))
+        return packed.astype(jnp.float32), new
+
+    caches = model.apply(variables, n_streams,
+                         method=ChunkConformer.init_multi_stream_caches)
+    packed, caches = tick(variables, chunks, caches)   # compile
+    float(packed)
+
+    chunk_s = cfg.chunk_samples / cfg.sample_rate      # 0.16 s
+    n_ticks, reps = 25, 6                              # best-of (multi-tenant)
+    best = float("inf")
+    for _ in range(reps):
+        c = model.apply(variables, n_streams,
+                        method=ChunkConformer.init_multi_stream_caches)
+        t0 = time.perf_counter()
+        for _ in range(n_ticks):
+            packed, c = tick(variables, chunks, c)
+        float(packed)         # cache chain => all ticks done
+        best = min(best, (time.perf_counter() - t0) / n_ticks)
+
+    # every tick advances all 64 streams by one 160 ms chunk; capacity =
+    # concurrent real-time streams one chip sustains at this pool size
+    capacity = n_streams * chunk_s / best
+    # reference: 1 stream/CPU core at RTF 0.1 (README.md:172) => a core
+    # saturates at ~10 real-time streams
+    _emit("stream_capacity_streams_per_chip", capacity, "streams",
+          capacity / 10.0)
+
+
 def bench_train_step():
     import jax
     import jax.numpy as jnp
@@ -256,7 +321,7 @@ def main():
           f"(init {time.perf_counter() - t0:.1f}s)", file=sys.stderr,
           flush=True)
     for fn in (bench_offline_inference, bench_chunk_stream,
-               bench_train_step):
+               bench_stream_capacity, bench_train_step):
         t0 = time.perf_counter()
         print(f"bench: {fn.__name__} ...", file=sys.stderr, flush=True)
         try:

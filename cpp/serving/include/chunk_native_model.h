@@ -29,6 +29,11 @@ struct ChunkStackCfg {
   float fc_factor = 0.5f;
   int win_front = 36;
   int win_back = 0;
+
+  // EXACT streaming delay: per-block attention reaches win_back frames
+  // ahead, so the stack's receptive cone is num_blocks * win_back (see
+  // ChunkStackConfig.lookahead in models/chunk_conformer.py).
+  int lookahead() const { return num_blocks * win_back; }
 };
 
 struct ChunkNativeConfig {
@@ -61,9 +66,16 @@ struct ChunkStreamState {
   std::vector<float> wav;  // [chunk_samples] tail
   Tensor sub;              // [sub_length, n_mels] mel tail
   StackState enc, pk, hlp, dec;
-  Tensor pk_ring;          // [pk.win_back, d] picker lookahead ring
+  // Input rings hold frames still awaiting full lookahead, sized by each
+  // stack's lookahead() (= num_blocks * win_back); re-fed next step so
+  // streaming equals offline exactly at any stack depth.
+  Tensor enc_ring;         // [enc.lookahead(), d] encoder lookahead ring
+  int enc_ring_fill = 0;
+  Tensor pk_ring;          // [pk.lookahead(), d] picker lookahead ring
   int pk_ring_fill = 0;
-  Tensor dec_ring;         // [dec.win_back, d] decoder lookahead ring
+  Tensor hlp_ring;         // [hlp.lookahead(), d] helper lookahead ring
+  int hlp_ring_fill = 0;
+  Tensor dec_ring;         // [dec.lookahead(), d] decoder lookahead ring
   int dec_ring_fill = 0;
 };
 

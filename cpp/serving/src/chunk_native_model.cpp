@@ -26,12 +26,14 @@ inline bool SlotValid(int j, int cache_len, int t, int fill, int skip) {
 
 // Right-aligned lookahead ring feed (ChunkConformer._ring_feed), B=1.
 // x_out = [wb + t, d]; returns skip; updates ring/fill; n_final out.
+// in_skip marks a garbage PREFIX of `fresh` (an upstream ring still
+// warming up); real frames always form a contiguous suffix.
 Tensor RingFeed(Tensor* ring, int* ring_fill, const Tensor& fresh, int wb,
-                int* skip, int* n_final) {
+                int* skip, int* n_final, int in_skip = 0) {
   const int t = fresh.dim(0);
   if (wb == 0) {
-    *skip = 0;
-    *n_final = t;
+    *skip = in_skip;
+    *n_final = std::max(t - in_skip, 0);
     return fresh;
   }
   const int d = fresh.dim(1);
@@ -41,11 +43,11 @@ Tensor RingFeed(Tensor* ring, int* ring_fill, const Tensor& fresh, int wb,
   std::memcpy(x.data.data(), ring->data.data(), sizeof(float) * wb * d);
   std::memcpy(x.data.data() + (long)wb * d, fresh.data.data(),
               sizeof(float) * t * d);
-  *skip = wb - std::min(*ring_fill, wb);
+  *skip = (wb - std::min(*ring_fill, wb)) + in_skip;
   // new ring = last wb rows of x
   std::memcpy(ring->data.data(), x.data.data() + (long)t * d,
               sizeof(float) * wb * d);
-  *ring_fill = std::min(*ring_fill + t, wb);
+  *ring_fill = std::min(*ring_fill + std::max(t - in_skip, 0), wb);
   *n_final = std::max(t - *skip, 0);
   return x;
 }
@@ -195,8 +197,10 @@ ChunkStreamState ChunkNativeModel::InitState() const {
   st.pk = stack(cfg_.pk);
   st.hlp = stack(cfg_.hlp);
   st.dec = stack(cfg_.dec);
-  st.pk_ring = ZerosT(std::max(cfg_.pk.win_back, 1), cfg_.dmodel);
-  st.dec_ring = ZerosT(std::max(cfg_.dec.win_back, 1), cfg_.dmodel);
+  st.enc_ring = ZerosT(std::max(cfg_.enc.lookahead(), 1), cfg_.dmodel);
+  st.pk_ring = ZerosT(std::max(cfg_.pk.lookahead(), 1), cfg_.dmodel);
+  st.hlp_ring = ZerosT(std::max(cfg_.hlp.lookahead(), 1), cfg_.dmodel);
+  st.dec_ring = ZerosT(std::max(cfg_.dec.lookahead(), 1), cfg_.dmodel);
   return st;
 }
 
@@ -481,7 +485,7 @@ Tensor ChunkNativeModel::StackStream(const std::string& prefix,
                                      const ChunkStackCfg& c, StackState* st,
                                      const Tensor& x, int skip) const {
   const int t = x.dim(0);
-  const int n_keep = t - c.win_back;
+  const int n_keep = t - c.lookahead();
   Tensor cur = x;
   for (int i = 0; i < c.num_blocks; ++i)
     BlockStream(prefix + "/block_" + std::to_string(i), c, &cur,
@@ -499,11 +503,20 @@ ChunkStepResult ChunkNativeModel::Step(ChunkStreamState* st,
   const int blank = cfg_.num_phone_classes - 1;
 
   Tensor front_out = FrontStep(st, chunk);
-  Tensor enc_out = StackStream("encoder", cfg_.enc, &st->enc, front_out, 0);
+  int skip_e = 0, n_final_e = 0;
+  Tensor x_e = RingFeed(&st->enc_ring, &st->enc_ring_fill, front_out,
+                        cfg_.enc.lookahead(), &skip_e, &n_final_e);
+  Tensor enc_out = StackStream("encoder", cfg_.enc, &st->enc, x_e, skip_e);
+  // encoder final region: slots [skip_e, t) of the first t rows
+  if (enc_out.dim(0) > t) {
+    enc_out.data.resize((long)t * enc_out.dim(1));
+    enc_out.shape[0] = t;
+  }
 
   int skip = 0, n_final = 0;
   Tensor xin = RingFeed(&st->pk_ring, &st->pk_ring_fill, enc_out,
-                        cfg_.pk.win_back, &skip, &n_final);
+                        cfg_.pk.lookahead(), &skip, &n_final,
+                        /*in_skip=*/t - n_final_e);
   Tensor proj = Dense(xin, get("params/phone_picker/project/kernel"),
                       get("params/phone_picker/project/bias"));
   Tensor hidden =
@@ -517,7 +530,7 @@ ChunkStepResult ChunkNativeModel::Step(ChunkStreamState* st,
     res.phone_ids.push_back(
         ArgMaxRow(logits.data.data() + (long)f * vp, vp));
 
-  const int wb = cfg_.dec.win_back;
+  const int wb = cfg_.dec.lookahead();
   const int d = cfg_.dmodel;
   const int vc = cfg_.num_char_classes;
   for (int f = 0; f < t; ++f) {
@@ -529,11 +542,19 @@ ChunkStepResult ChunkNativeModel::Step(ChunkStreamState* st,
     hf.shape = {1, d};
     hf.data.assign(hidden.data.data() + (long)f * hidden.dim(1),
                    hidden.data.data() + (long)f * hidden.dim(1) + d);
+    int skip_h = 0, nf_h = 0;
+    Tensor x_h = RingFeed(&st->hlp_ring, &st->hlp_ring_fill, hf,
+                          cfg_.hlp.lookahead(), &skip_h, &nf_h);
     Tensor helper_out =
-        StackStream("helper/stack", cfg_.hlp, &st->hlp, hf, 0);
+        StackStream("helper/stack", cfg_.hlp, &st->hlp, x_h, skip_h);
+    // helper final region: first row of this step's slot
+    if (helper_out.dim(0) > 1) {
+      helper_out.data.resize(helper_out.dim(1));
+      helper_out.shape[0] = 1;
+    }
     int skip2 = 0, nf2 = 0;
     Tensor x2 = RingFeed(&st->dec_ring, &st->dec_ring_fill, helper_out, wb,
-                         &skip2, &nf2);
+                         &skip2, &nf2, /*in_skip=*/1 - nf_h);
     Tensor p2 = Dense(x2, get("params/decoder/project/kernel"),
                       get("params/decoder/project/bias"));
     Tensor dout = StackStream("decoder/stack", cfg_.dec, &st->dec, p2, skip2);

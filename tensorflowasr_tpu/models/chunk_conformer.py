@@ -81,6 +81,21 @@ class ChunkStackConfig:
     scan_layers: bool = False    # lax.scan over blocks (stacked params;
     #   ~num_blocks-fold faster compiles, e.g. the fused streaming step)
 
+    @property
+    def lookahead(self) -> int:
+        """EXACT streaming delay of this stack in frames.
+
+        Per-block attention reaches ``win_back`` frames ahead, so the
+        stack's receptive cone extends ``num_blocks * win_back`` frames —
+        the reference documents exactly this ("latency = win_back x
+        num_blocks x 40ms", chunk_conformerS.yml:21) but its streaming
+        path only delays by win_back and emits approximate outputs for
+        multi-block stacks (and for the encoder it DROPS the unvalid tail
+        outright, chunk_conformer_blocks.py:544-560 + :827-831). We
+        instead re-feed a ``lookahead``-frame input ring so streaming
+        outputs equal offline exactly at any depth."""
+        return self.num_blocks * self.win_back
+
 
 @dataclasses.dataclass(frozen=True)
 class ChunkConformerConfig:
@@ -500,18 +515,19 @@ class ChunkStack(nn.Module):
     def stream_call(self, x: jnp.ndarray, mha_caches, cnn_caches,
                     fill: jnp.ndarray, skip: jnp.ndarray):
         """Process t input frames (the first ``skip`` per batch are ring
-        zero-slots); caches advance past the t - win_back frames that gain
-        full lookahead this step, minus the skipped slots (reference trims
-        the same way, :530-560). Garbage never enters a cache: appended
-        slots below ``skip`` are zeroed and counted out of ``fill``.
+        zero-slots); caches advance past the t - lookahead frames that gain
+        full lookahead this step, minus the skipped slots (the reference
+        trims by win_back only, :530-560 — approximate for multi-block
+        stacks; see ChunkStackConfig.lookahead). Garbage never enters a
+        cache: appended slots below ``skip`` are zeroed and counted out of
+        ``fill``.
 
         Returns (out [B, t, d], new_mha, new_cnn, new_fill). Output frames
-        [skip, t - win_back) are final; the rest are lookahead/garbage.
+        [skip, t - lookahead) are final; the rest are lookahead/garbage.
         """
         c = self.cfg
-        wb = c.win_back
         t = x.shape[1]
-        n_keep = t - wb
+        n_keep = t - c.lookahead
         appended_real = jnp.maximum(n_keep - skip, 0)
         if c.scan_layers:
             def body(block, carry, caches):
@@ -594,8 +610,10 @@ class ContextHelper(nn.Module):
         emb = self.sample_helper(phone_ids)
         return emb, self.stack(emb, training)
 
-    def stream_call(self, x: jnp.ndarray, mha_caches, cnn_caches, fill):
-        skip = jnp.zeros_like(fill)
+    def stream_call(self, x: jnp.ndarray, mha_caches, cnn_caches, fill,
+                    skip: jnp.ndarray | None = None):
+        if skip is None:
+            skip = jnp.zeros_like(fill)
         out, new_mha, new_cnn, new_fill = self.stack.stream_call(
             x, mha_caches, cnn_caches, fill, skip)
         return out, new_mha, new_cnn, new_fill
@@ -704,67 +722,76 @@ class ChunkConformer(nn.Module):
         return char_logits, phone_logits, counts
 
     # -- streaming --------------------------------------------------------
-    def _check_streamable(self) -> None:
-        """The ring streaming pipeline delays outputs only at the picker and
-        decoder stages; a nonzero encoder/helper win_back would silently
-        produce outputs that lack their configured lookahead (reference
-        supports it via per-level valid/unvalid splitting,
-        chunk_conformer_blocks.py:530-560 — not implemented here). Offline
-        ``train_forward``/``offline_predict`` support any win_back."""
-        c = self.cfg
-        if c.encoder.win_back != 0 or c.helper.win_back != 0:
-            raise ValueError(
-                "streaming requires encoder/helper win_back == 0 (got "
-                f"encoder={c.encoder.win_back}, helper={c.helper.win_back}); "
-                "lookahead is supported on the picker and decoder stacks "
-                "only. Use offline_predict for lookahead-everywhere configs.")
-
     def init_picker_caches(self, batch: int) -> Dict[str, jnp.ndarray]:
-        self._check_streamable()
+        c = self.cfg
         wav_cache, sub_cache = self.front.init_caches(batch)
         enc_mha, enc_cnn = self.encoder.init_caches(batch)
         pk_mha, pk_cnn = self.phone_picker.init_caches(batch)
-        wb = self.cfg.picker.win_back
         z = jnp.zeros((batch,), jnp.int32)
-        return {
+        caches = {
             "wav": wav_cache, "sub": sub_cache,
             "enc_mha": enc_mha, "enc_cnn": enc_cnn, "enc_fill": z,
             "picker_mha": pk_mha, "picker_cnn": pk_cnn, "picker_fill": z,
             # lookahead ring: frames fed to the picker but not yet final
-            "ring": jnp.zeros((batch, wb, self.cfg.dmodel), jnp.float32),
+            "ring": jnp.zeros((batch, c.picker.lookahead, c.dmodel),
+                              jnp.float32),
             "ring_fill": z,
         }
+        if c.encoder.lookahead > 0:
+            # encoder lookahead ring (front outputs awaiting full lookahead;
+            # the reference drops these frames instead — see
+            # ChunkStackConfig.lookahead). Keys only exist when configured,
+            # so shipped-config cache pytrees (and their exports / native
+            # engine layouts) are unchanged.
+            caches["enc_ring"] = jnp.zeros(
+                (batch, c.encoder.lookahead, c.dmodel), jnp.float32)
+            caches["enc_ring_fill"] = z
+        return caches
 
     def init_decoder_caches(self, batch: int) -> Dict[str, jnp.ndarray]:
-        self._check_streamable()
+        c = self.cfg
         h_mha, h_cnn = self.helper.init_caches(batch)
         d_mha, d_cnn = self.decoder.init_caches(batch)
-        wb = self.cfg.decoder.win_back
         z = jnp.zeros((batch,), jnp.int32)
-        return {
+        caches = {
             "helper_mha": h_mha, "helper_cnn": h_cnn, "helper_fill": z,
             "dec_mha": d_mha, "dec_cnn": d_cnn, "dec_fill": z,
-            "ring": jnp.zeros((batch, wb, self.cfg.dmodel), jnp.float32),
+            "ring": jnp.zeros((batch, c.decoder.lookahead, c.dmodel),
+                              jnp.float32),
             "ring_fill": z,
         }
+        if c.helper.lookahead > 0:
+            caches["helper_ring"] = jnp.zeros(
+                (batch, c.helper.lookahead, c.dmodel), jnp.float32)
+            caches["helper_ring_fill"] = z
+        return caches
 
     @staticmethod
-    def _ring_feed(ring, ring_fill, new, wb):
+    def _ring_feed(ring, ring_fill, new, wb, in_skip=None):
         """Prepend a right-aligned lookahead ring to ``new`` frames.
 
+        ``in_skip`` [B] marks a garbage PREFIX of ``new`` (warm-up frames
+        of an upstream ring that have not produced real outputs yet). Real
+        frames always form a contiguous suffix of the buffer: an upstream
+        ring's skip strictly shrinks by t per step, so once any real frame
+        has flowed (ring_fill > 0) the upstream skip is already 0 — garbage
+        never lands between two real runs.
+
         Returns (x [B, wb + t, d], skip [B], new_ring, new_ring_fill,
-        n_final [B]): of the t' = wb + t - wb = t output slots that gain
-        full lookahead, the LAST n_final are real (the first
-        ``max(wb - ring_fill, 0)`` correspond to zero ring slots)."""
+        n_final [B]): output slots [skip, t) of the first t gain full
+        lookahead; the LAST n_final = t - skip of them are real."""
         t = new.shape[1]
+        b = new.shape[0]
+        if in_skip is None:
+            in_skip = jnp.zeros((b,), jnp.int32)
         if wb == 0:
-            b = new.shape[0]
-            return (new, jnp.zeros((b,), jnp.int32), ring, ring_fill,
-                    jnp.full((b,), t, jnp.int32))
+            return (new, in_skip.astype(jnp.int32), ring, ring_fill,
+                    jnp.maximum(t - in_skip, 0).astype(jnp.int32))
         x = jnp.concatenate([ring, new], axis=1)
-        skip = (wb - jnp.minimum(ring_fill, wb)).astype(jnp.int32)
+        skip = ((wb - jnp.minimum(ring_fill, wb)) + in_skip).astype(jnp.int32)
         new_ring = x[:, -wb:]
-        new_ring_fill = jnp.minimum(ring_fill + t, wb).astype(jnp.int32)
+        new_ring_fill = jnp.minimum(
+            ring_fill + jnp.maximum(t - in_skip, 0), wb).astype(jnp.int32)
         n_final = jnp.maximum(t - skip, 0).astype(jnp.int32)
         return x, skip, new_ring, new_ring_fill, n_final
 
@@ -777,33 +804,40 @@ class ChunkConformer(nn.Module):
         frames per step; the LAST n_final of them are real outputs (fewer
         than t only during lookahead warm-up; with the shipped config every
         win_back before the char decoder is 0 so n_final == t always).
+
+        Encoder lookahead (win_back > 0) is EXACT here: front outputs
+        waiting on lookahead sit in an ``enc_ring`` and are re-fed (the
+        reference instead discards the encoder's unvalid tail, losing
+        win_back frames per chunk — chunk_conformer_blocks.py:827-831).
         """
         c = self.cfg
-        self._check_streamable()
         if wav_chunk.shape[-1] != c.chunk_samples and (
                 wav_chunk.ndim != 3 or wav_chunk.shape[1] != c.chunk_samples):
             raise ValueError(
                 f"picker_stream_step expects chunks of exactly "
                 f"{c.chunk_samples} samples, got {wav_chunk.shape}")
-        zero_skip = jnp.zeros_like(caches["enc_fill"])
         front_out, new_wav, new_sub = self.front.stream_call(
             wav_chunk, caches["wav"], caches["sub"])
+        t_new = front_out.shape[1]
+        x_e, skip_e, new_enc_ring, new_enc_ring_fill, n_final_e = \
+            self._ring_feed(caches.get("enc_ring"),
+                            caches.get("enc_ring_fill"), front_out,
+                            c.encoder.lookahead)
         enc_out, new_enc_mha, new_enc_cnn, new_enc_fill = \
-            self.encoder.stream_call(front_out, caches["enc_mha"],
+            self.encoder.stream_call(x_e, caches["enc_mha"],
                                      caches["enc_cnn"], caches["enc_fill"],
-                                     zero_skip)
-        # encoder win_back must be 0 for a pure ring pipeline (shipped
-        # config); a nonzero encoder lookahead would need its own ring here.
-        t_new = enc_out.shape[1]
-        wb = c.picker.win_back
+                                     skip_e)
+        # encoder final region: slots [skip_e, t_new) of the first t_new
+        enc_final = enc_out[:, :t_new]
         x, skip, new_ring, new_ring_fill, n_final = self._ring_feed(
-            caches["ring"], caches["ring_fill"], enc_out, wb)
+            caches["ring"], caches["ring_fill"], enc_final,
+            c.picker.lookahead, in_skip=t_new - n_final_e)
         pk_logits, pk_hidden, new_pk_mha, new_pk_cnn, new_pk_fill = \
             self.phone_picker.stream_call(
                 x, caches["picker_mha"], caches["picker_cnn"],
                 caches["picker_fill"], skip)
-        # final outputs: positions [skip, len(x) - wb) == last n_final of
-        # the first t_new slots
+        # final outputs: positions [skip, len(x) - lookahead) == last
+        # n_final of the first t_new slots
         pk_logits = pk_logits[:, :t_new]
         pk_hidden = pk_hidden[:, :t_new]
         new_caches = {
@@ -814,6 +848,9 @@ class ChunkConformer(nn.Module):
             "picker_fill": new_pk_fill,
             "ring": new_ring, "ring_fill": new_ring_fill,
         }
+        if c.encoder.lookahead > 0:
+            new_caches["enc_ring"] = new_enc_ring
+            new_caches["enc_ring_fill"] = new_enc_ring_fill
         return pk_logits, pk_hidden, n_final, new_caches
 
     def decoder_stream_step(self, picked: jnp.ndarray,
@@ -822,22 +859,30 @@ class ChunkConformer(nn.Module):
 
         picked [B, s, d] REAL picked frames (the session buffers until s
         are available). Returns (char_logits [B, s, Vc], provisional
-        [B, wb, Vc], n_final [B], new caches): the LAST n_final logits of
-        the s emitted are final — with decoder win_back wb, output lags wb
-        picked frames behind input until the ring warms up. ``provisional``
-        holds lookahead-truncated logits for the wb pending ring frames
-        (the reference's "unvalid" live-text tail, test_chunk_asr.py:
-        83-123) — they are re-emitted as final on a later step.
+        [B, L, Vc], n_final [B], new caches): the LAST n_final logits of
+        the s emitted are final — with combined helper+decoder lookahead
+        L_h + L_d (L_* = num_blocks * win_back per stack), output lags
+        that many picked frames behind input until the rings warm up.
+        ``provisional`` holds lookahead-truncated logits for the L_d
+        pending decoder-ring frames (the reference's "unvalid" live-text
+        tail, test_chunk_asr.py:83-123) — they are re-emitted as final on
+        a later step. Helper lookahead is exact via its own input ring
+        (the reference has no streaming helper lookahead at all).
         """
+        c = self.cfg
         s = picked.shape[1]
-        zero_skip = jnp.zeros_like(caches["helper_fill"])
+        x_h, skip_h, new_h_ring, new_h_ring_fill, n_final_h = \
+            self._ring_feed(caches.get("helper_ring"),
+                            caches.get("helper_ring_fill"), picked,
+                            c.helper.lookahead)
         helper_out, new_h_mha, new_h_cnn, new_h_fill = \
-            self.helper.stream_call(picked, caches["helper_mha"],
+            self.helper.stream_call(x_h, caches["helper_mha"],
                                     caches["helper_cnn"],
-                                    caches["helper_fill"])
-        wb = self.cfg.decoder.win_back
+                                    caches["helper_fill"], skip_h)
+        helper_final = helper_out[:, :s]
         x, skip, new_ring, new_ring_fill, n_final = self._ring_feed(
-            caches["ring"], caches["ring_fill"], helper_out, wb)
+            caches["ring"], caches["ring_fill"], helper_final,
+            c.decoder.lookahead, in_skip=s - n_final_h)
         logits, _, new_d_mha, new_d_cnn, new_d_fill = \
             self.decoder.stream_call(
                 x, caches["dec_mha"], caches["dec_cnn"],
@@ -851,6 +896,9 @@ class ChunkConformer(nn.Module):
             "dec_fill": new_d_fill,
             "ring": new_ring, "ring_fill": new_ring_fill,
         }
+        if c.helper.lookahead > 0:
+            new_caches["helper_ring"] = new_h_ring
+            new_caches["helper_ring_fill"] = new_h_ring_fill
         return logits, provisional, n_final, new_caches
 
 
@@ -875,10 +923,12 @@ class ChunkConformer(nn.Module):
         prov_ids [wb] (-1 padded), n_final [1], new caches).
         """
         t = self.cfg.sub_length
-        wb = self.cfg.decoder.win_back
+        wb = self.cfg.decoder.lookahead
         pk_keys = ["wav", "sub", "enc_mha", "enc_cnn", "enc_fill",
                    "picker_mha", "picker_cnn", "picker_fill", "ring",
                    "ring_fill"]
+        if self.cfg.encoder.lookahead > 0:
+            pk_keys += ["enc_ring", "enc_ring_fill"]
         pk_caches = {k: caches[k] for k in pk_keys}
         dec_caches = {k[len("dec_"):]: v for k, v in caches.items()
                       if k.startswith("dec_")}

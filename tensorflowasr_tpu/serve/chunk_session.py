@@ -43,7 +43,7 @@ class ChunkStreamSession:
         self.phone_blank = model.num_phone_classes - 1
         self.char_blank = model.num_char_classes - 1
         t = self.cfg.sub_length
-        wb = max(self.cfg.decoder.win_back, 1)
+        wb = max(self.cfg.decoder.lookahead, 1)
 
         def step(v, chunk, caches):
             phone_ids, char_ids, prov_ids, n_final, new = model.apply(

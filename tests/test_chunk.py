@@ -208,29 +208,138 @@ def test_chunk_train_step_runs_and_descends():
     assert np.isfinite(float(em["train_loss"]))
 
 
-def test_unsupported_encoder_lookahead_raises():
-    """Nonzero encoder/helper win_back must raise at streaming entry (it
-    would silently drop the configured lookahead) while offline
-    train_forward keeps working (VERDICT r1 weak #2)."""
+def _lookahead_cfg(enc_blocks=2, enc_wb=1, pk_wb=1, dec_blocks=2, dec_wb=2,
+                   helper_wb=1):
     stack = dict(dmodel=16, head_size=8, num_heads=2, kernel_size=4,
                  dropout=0.0, win_front=6)
-    cfg = ChunkConformerConfig(
+    return ChunkConformerConfig(
         dmodel=16, reduction_factor=4, front_dropout=0.0,
         sample_rate=16000, n_mels=20, stride_ms=10, chunk_num=16,
-        encoder=ChunkStackConfig(num_blocks=1, win_back=2, **stack),
-        picker=ChunkStackConfig(num_blocks=1, win_back=0, **stack),
-        decoder=ChunkStackConfig(num_blocks=1, win_back=2, **stack),
-        helper=ChunkStackConfig(num_blocks=1, win_back=0, **stack),
+        encoder=ChunkStackConfig(num_blocks=enc_blocks, win_back=enc_wb,
+                                 **stack),
+        picker=ChunkStackConfig(num_blocks=1, win_back=pk_wb, **stack),
+        decoder=ChunkStackConfig(num_blocks=dec_blocks, win_back=dec_wb,
+                                 **stack),
+        helper=ChunkStackConfig(num_blocks=1, win_back=helper_wb, **stack),
     )
+
+
+def test_encoder_lookahead_streaming_matches_offline():
+    """EXACT encoder lookahead: a 2-block win_back=1 encoder (lookahead =
+    num_blocks*win_back = 2) plus picker win_back 1 streams numerically
+    equal to offline, delayed by the total lookahead. The reference's
+    streaming path would DROP the encoder's unvalid frames here
+    (chunk_conformer_blocks.py:827-831)."""
+    cfg = _lookahead_cfg()
     model = ChunkConformer(cfg, N_PHONE, N_CHAR)
-    wav = jnp.asarray(np.random.default_rng(0).standard_normal(
-        (1, cfg.chunk_samples * 2)).astype(np.float32) * 0.1)
-    # offline path supports any win_back
-    variables = model.init(jax.random.PRNGKey(0), wav,
+    b, n_chunks = 2, 6
+    rng = np.random.default_rng(7)
+    wav = jnp.asarray(rng.standard_normal(
+        (b, cfg.chunk_samples * n_chunks)).astype(np.float32) * 0.1)
+    variables = model.init(jax.random.PRNGKey(0), wav[:, :cfg.chunk_samples],
+                           jnp.ones((b, 4), jnp.int32), 6, False,
+                           method=ChunkConformer.train_forward)
+
+    off_logits, off_hidden = model.apply(
+        variables, wav, False, method=ChunkConformer.encode_to_phones)
+
+    caches = model.apply(variables, b,
+                         method=ChunkConformer.init_picker_caches)
+    t = cfg.sub_length
+    finals, hids = [], []
+    for i in range(n_chunks):
+        chunk = wav[:, i * cfg.chunk_samples:(i + 1) * cfg.chunk_samples]
+        logits, hidden, n_final, caches = model.apply(
+            variables, chunk, caches,
+            method=ChunkConformer.picker_stream_step)
+        n = int(np.asarray(n_final)[0])
+        assert np.all(np.asarray(n_final) == n)
+        if n > 0:
+            finals.append(np.asarray(logits)[:, t - n:])
+            hids.append(np.asarray(hidden)[:, t - n:])
+    stream = np.concatenate(finals, axis=1)
+    delay = cfg.encoder.lookahead + cfg.picker.lookahead
+    assert stream.shape[1] == n_chunks * t - delay
+    np.testing.assert_allclose(stream,
+                               np.asarray(off_logits)[:, :stream.shape[1]],
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.concatenate(hids, axis=1),
+                               np.asarray(off_hidden)[:, :stream.shape[1]],
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_multiblock_decoder_helper_lookahead_exact():
+    """Helper lookahead ring + MULTI-BLOCK decoder lookahead: lookahead
+    compounds per block (num_blocks * win_back — the reference documents
+    the compounded latency, chunk_conformerS.yml:21, but its streaming
+    only re-feeds win_back frames, so multi-block stacks stream
+    approximately there; here they are exact)."""
+    cfg = _lookahead_cfg()
+    model = ChunkConformer(cfg, N_PHONE, N_CHAR)
+    b, total, s = 2, 18, 3
+    rng = np.random.default_rng(8)
+    picked = jnp.asarray(rng.standard_normal(
+        (b, total, cfg.dmodel)).astype(np.float32))
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((b, cfg.chunk_samples), jnp.float32),
+        jnp.ones((b, 4), jnp.int32), 6, False,
+        method=ChunkConformer.train_forward)
+
+    def helper_decoder(model, picked):
+        h = model.helper(picked, False)
+        logits, _ = model.decoder(h, False)
+        return logits
+
+    off = model.apply(variables, picked, method=helper_decoder)
+
+    caches = model.apply(variables, b,
+                         method=ChunkConformer.init_decoder_caches)
+    finals = []
+    for i in range(total // s):
+        step_in = picked[:, i * s:(i + 1) * s]
+        logits, provisional, n_final, caches = model.apply(
+            variables, step_in, caches,
+            method=ChunkConformer.decoder_stream_step)
+        n = int(np.asarray(n_final)[0])
+        assert np.all(np.asarray(n_final) == n)
+        if n > 0:
+            finals.append(np.asarray(logits)[:, s - n:])
+    stream = np.concatenate(finals, axis=1)
+    delay = cfg.helper.lookahead + cfg.decoder.lookahead   # 1 + 2*2 = 5
+    assert stream.shape[1] == total - delay
+    np.testing.assert_allclose(stream, np.asarray(off)[:, :total - delay],
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_fused_stream_step_with_lookahead_everywhere():
+    """fused_stream_step runs (shapes + finite) on a config with lookahead
+    on every stack, and its phone stream matches picker_stream_step."""
+    cfg = _lookahead_cfg()
+    model = ChunkConformer(cfg, N_PHONE, N_CHAR)
+    rng = np.random.default_rng(9)
+    n_chunks = 4
+    wav = jnp.asarray(rng.standard_normal(
+        (1, cfg.chunk_samples * n_chunks)).astype(np.float32) * 0.1)
+    variables = model.init(jax.random.PRNGKey(0), wav[:, :cfg.chunk_samples],
                            jnp.ones((1, 4), jnp.int32), 6, False,
                            method=ChunkConformer.train_forward)
-    # streaming entry points reject the config loudly
-    with pytest.raises(ValueError, match="win_back"):
-        model.apply(variables, 1, method=ChunkConformer.init_picker_caches)
-    with pytest.raises(ValueError, match="win_back"):
-        model.apply(variables, 1, method=ChunkConformer.init_decoder_caches)
+    caches = model.apply(variables, 1,
+                         method=ChunkConformer.init_stream_caches)
+    pk_caches = model.apply(variables, 1,
+                            method=ChunkConformer.init_picker_caches)
+    t = cfg.sub_length
+    for i in range(n_chunks):
+        chunk = wav[:, i * cfg.chunk_samples:(i + 1) * cfg.chunk_samples]
+        phone_ids, char_ids, prov_ids, n_final, caches = model.apply(
+            variables, chunk, caches,
+            method=ChunkConformer.fused_stream_step)
+        logits, _, pk_n_final, pk_caches = model.apply(
+            variables, chunk, pk_caches,
+            method=ChunkConformer.picker_stream_step)
+        assert phone_ids.shape == (t,)
+        assert prov_ids.shape == (cfg.decoder.lookahead,)
+        np.testing.assert_array_equal(np.asarray(n_final),
+                                      np.asarray(pk_n_final))
+        np.testing.assert_array_equal(
+            np.asarray(phone_ids), np.argmax(np.asarray(logits)[0], -1))

@@ -35,14 +35,19 @@ def cpp_build(tmp_path_factory):
     return build
 
 
-@pytest.mark.parametrize("picker_wb", [0, 2])
-def test_native_chunk_stream_parity(cpp_build, tmp_path, picker_wb):
+@pytest.mark.parametrize("variant", ["base", "picker_wb2", "lookahead_all"])
+def test_native_chunk_stream_parity(cpp_build, tmp_path, variant):
     import dataclasses
 
     cfg = tiny_cfg()
-    if picker_wb:
+    if variant == "picker_wb2":
         cfg = dataclasses.replace(
-            cfg, picker=dataclasses.replace(cfg.picker, win_back=picker_wb))
+            cfg, picker=dataclasses.replace(cfg.picker, win_back=2))
+    elif variant == "lookahead_all":
+        # lookahead on every stack, incl. a multi-block encoder (exact
+        # num_blocks*win_back ring semantics in BOTH engines)
+        from tests.test_chunk import _lookahead_cfg
+        cfg = _lookahead_cfg()
     model = ChunkConformer(cfg, N_PHONE, N_CHAR)
     variables = model.init(
         jax.random.PRNGKey(0),
