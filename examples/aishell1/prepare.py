@@ -77,6 +77,12 @@ def main(argv=None) -> int:
                         "hanzi, the translate target stays characters — "
                         "the real AISHELL task without pypinyin")
     p.add_argument("--min_char_count", type=int, default=1)
+    p.add_argument("--bucket_seconds", default=None,
+                   help="comma list of duration-bucket caps (s), e.g. "
+                        "'2,4,6,8'; match the corpus' duration "
+                        "distribution — every batch pads to its bucket "
+                        "cap, so a too-coarse grid wastes loader and "
+                        "frontend work. Default: loader default (4,8,12,16)")
     args = p.parse_args(argv)
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -132,7 +138,8 @@ def main(argv=None) -> int:
     cfg_out = os.path.join(args.out_dir, "am_data.yml")
     write_data_config(cfg_out, args.out_dir,
                       transcripts_are_pinyin=pin is not None,
-                      pinyin_lexicon=args.train_time_lexicon)
+                      pinyin_lexicon=args.train_time_lexicon,
+                      bucket_seconds=args.bucket_seconds)
     print(f"data config -> {cfg_out}")
     print("train: python train_asr.py --data_config "
           f"{cfg_out} --model_config configs/conformerS.yml")
@@ -141,13 +148,17 @@ def main(argv=None) -> int:
 
 def write_data_config(path: str, out_dir: str,
                       transcripts_are_pinyin: bool,
-                      pinyin_lexicon: str = None) -> None:
+                      pinyin_lexicon: str = None,
+                      bucket_seconds: str = None) -> None:
     """am_data.yml with absolute paths into out_dir; hyperparameters mirror
     the reference's aishell-1 50-epoch ConformerCTC(S) setup
     (asr/configs/am_data.yml + README.md:168-172)."""
     a = os.path.abspath
     lex_line = (f"\n  pinyin_lexicon: {a(pinyin_lexicon)}"
                 if pinyin_lexicon else "")
+    if bucket_seconds:
+        caps = [float(s) for s in bucket_seconds.split(",")]
+        lex_line += f"\n  bucket_seconds: {caps}"
     yml = f"""# generated by examples/aishell1/prepare.py
 speech_config:
   mel_layer_type: Melspectrogram

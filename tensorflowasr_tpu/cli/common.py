@@ -24,6 +24,11 @@ def config_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--data_workers", type=int, default=4,
                    help="host threads for wav loading (reference: "
                         "fit(workers=10)); prefetch runs when > 0")
+    p.add_argument("--data_procs", type=int, default=0,
+                   help="batch-producer PROCESSES (the reference's "
+                        "use_multiprocessing=True); each owns a train-list "
+                        "shard. 0 = threads only. Use when batch prep, not "
+                        "the device, limits steps/s")
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--log_level", default="INFO")
@@ -134,3 +139,60 @@ def build_featurizers(config: UserConfig
             transcripts_are_pinyin = True
             pin = None
     return phone_f, char_f, p2p, pin, transcripts_are_pinyin
+
+
+# -- module-level batch streams (picklable for data.mp_prefetch) -----------
+
+def am_batch_stream(data_config: str, model_config: str, train: bool = True,
+                    sample_workers: int = 4, worker_id: int = 0,
+                    num_workers: int = 1):
+    """Build an AMDataLoader in THIS process over the worker's train-list
+    shard and yield packed batches forever. Top-level so
+    ``functools.partial(am_batch_stream, data_yml, model_yml)`` pickles
+    into data.mp_prefetch.MPBatchIterator's spawn workers."""
+    from tensorflowasr_tpu.data.am_dataloader import AMDataLoader
+
+    config = UserConfig(data_config, model_config)
+    phone_f, char_f, p2p, pin, pinyin_txt = build_featurizers(config)
+    dl = AMDataLoader(config, phone_f, char_f, pinyin2phone=p2p, pinyin=pin,
+                      transcripts_are_pinyin=pinyin_txt, seed=worker_id)
+    if num_workers > 1 and train and len(dl.train_list) >= num_workers:
+        dl.train_list = dl.train_list[worker_id::num_workers]
+    while True:
+        yield dl.generate(train=train, num_workers=sample_workers)
+
+
+def chunk_batch_stream(data_config: str, model_config: str,
+                       train: bool = True, sample_workers: int = 4,
+                       worker_id: int = 0, num_workers: int = 1):
+    """ChunkDataLoader counterpart of :func:`am_batch_stream`."""
+    from tensorflowasr_tpu.data.chunk_dataloader import ChunkDataLoader
+
+    config = UserConfig(data_config, model_config)
+    phone_f, char_f, p2p, pin, pinyin_txt = build_featurizers(config)
+    chunk_num = ((config["model_config"] or {})
+                 .get("ChunkConformerFront") or {}).get("chunk_num", 16)
+    dl = ChunkDataLoader(config, phone_f, char_f, chunk_num=chunk_num,
+                         pinyin2phone=p2p, pinyin=pin,
+                         transcripts_are_pinyin=pinyin_txt, seed=worker_id)
+    if num_workers > 1 and train and len(dl.train_list) >= num_workers:
+        dl.train_list = dl.train_list[worker_id::num_workers]
+    while True:
+        yield dl.generate(train=train, num_workers=sample_workers)
+
+
+def make_train_iter(args, thread_iter_fn, stream_fn):
+    """Choose the train-batch iterator: ``--data_procs`` > 0 spawns
+    process workers via MPBatchIterator, else the loader's own
+    thread-prefetch generator (``thread_iter_fn()``)."""
+    if getattr(args, "data_procs", 0) and args.data_procs > 0:
+        import functools
+
+        from tensorflowasr_tpu.data.mp_prefetch import MPBatchIterator
+
+        factory = functools.partial(
+            stream_fn, args.data_config, args.model_config, True,
+            max(1, args.data_workers // max(1, args.data_procs)))
+        return MPBatchIterator(factory, num_workers=args.data_procs,
+                               depth=2 * args.data_procs)
+    return thread_iter_fn()

@@ -10,9 +10,12 @@ from __future__ import annotations
 import sys
 
 from tensorflowasr_tpu.cli.common import (
+    am_batch_stream,
     build_featurizers,
+    chunk_batch_stream,
     config_parser,
     load_config,
+    make_train_iter,
 )
 
 
@@ -37,9 +40,13 @@ def main(argv=None) -> int:
         batch = dl.generate(train=True)
         trainer.init_state(batch)
         trainer.restore()
-        trainer.fit(dl.generator(train=True, num_workers=args.data_workers,
+        train_iter = make_train_iter(
+            args,
+            lambda: dl.generator(train=True, num_workers=args.data_workers,
                                  prefetch_depth=2 if args.data_workers
                                  else 0),
+            chunk_batch_stream)
+        trainer.fit(train_iter,
                     eval_iter=dl.generator(train=False),
                     total_steps=args.total_steps)
     else:
@@ -54,10 +61,13 @@ def main(argv=None) -> int:
         batch = dl.generate(train=True)
         trainer.init_state(batch)
         trainer.restore()
-
-        trainer.fit(dl.generator(train=True, num_workers=args.data_workers,
+        train_iter = make_train_iter(
+            args,
+            lambda: dl.generator(train=True, num_workers=args.data_workers,
                                  prefetch_depth=2 if args.data_workers
                                  else 0),
+            am_batch_stream)
+        trainer.fit(train_iter,
                     eval_iter=dl.generator(train=False),
                     total_steps=args.total_steps)
     return 0

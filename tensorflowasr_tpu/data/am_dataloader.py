@@ -103,6 +103,13 @@ class AMDataLoader:
             self.chunk = max(quantum, (raw // quantum) * quantum)
         else:
             self.chunk = 0
+        # YAML override: speech_config.bucket_seconds — match the bucket
+        # grid to the corpus' duration distribution (everything pads up to
+        # its bucket cap, so a 4s smallest bucket wastes 2-4x loader +
+        # frontend work on short-utterance corpora)
+        cfg_secs = sc.get("bucket_seconds")
+        if cfg_secs:
+            bucket_seconds = [float(s) for s in cfg_secs]
         secs = [s for s in sorted(bucket_seconds)
                 if s <= self.wav_max_duration + 1e-9]
         if not secs:

@@ -44,7 +44,12 @@ def stft(wav: np.ndarray, n_fft: int = 1024, win_length: int = 800,
     frames = np.lib.stride_tricks.as_strided(
         x, shape=(n_frames, n_fft),
         strides=(x.strides[0] * hop_length, x.strides[0])).copy()
-    return np.fft.rfft(frames * win[None, :], axis=1).T
+    # scipy.fft keeps float32 (np.fft always promotes to float64 — the
+    # promotion made spec-aug the host loader's hottest op, ~16x slower)
+    import scipy.fft as sfft
+
+    return sfft.rfft(
+        (frames * win[None, :]).astype(np.float32), axis=1).T
 
 
 def istft(spec: np.ndarray, n_fft: int = 1024, win_length: int = 800,
@@ -53,7 +58,9 @@ def istft(spec: np.ndarray, n_fft: int = 1024, win_length: int = 800,
     win = np.hanning(win_length + 1)[:-1].astype(np.float32)
     win = np.pad(win, ((n_fft - win_length) // 2,
                        n_fft - win_length - (n_fft - win_length) // 2))
-    frames = np.fft.irfft(spec.T, n=n_fft, axis=1)
+    import scipy.fft as sfft
+
+    frames = sfft.irfft(spec.T.astype(np.complex64), n=n_fft, axis=1)
     n_frames = frames.shape[0]
     out_len = n_fft + hop_length * (n_frames - 1)
     out = np.zeros(out_len, np.float32)

@@ -182,14 +182,20 @@ def test_batching_front_concurrent_clients():
         ph, ch = ops["stream_close"](np.asarray([slot], np.int32))
         results[i] = (list(ph), list(ch))
 
-    threads = [threading.Thread(target=client, args=(i,))
+    # daemon threads + try/finally: a timeout must not leak live threads
+    # that keep the interpreter from exiting after the test fails (seen
+    # once under a heavily loaded machine: the suite finished but hung at
+    # exit on these clients)
+    threads = [threading.Thread(target=client, args=(i,), daemon=True)
                for i in range(len(wavs))]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join(timeout=120)
-        assert not t.is_alive()
-    front.shutdown()
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+            assert not t.is_alive()
+    finally:
+        front.shutdown()
 
     for got, want in zip(results, expected):
         assert got[0] == want["phone_ids"]
@@ -235,12 +241,12 @@ def test_stream_ops_over_socket():
             finally:
                 cli.close()
 
-        threads = [threading.Thread(target=client, args=(i,))
+        threads = [threading.Thread(target=client, args=(i,), daemon=True)
                    for i in range(len(wavs))]
         for t in threads:
             t.start()
         for t in threads:
-            t.join(timeout=120)
+            t.join(timeout=300)
             assert not t.is_alive()
         for got, want in zip(results, expected):
             assert got[0] == want["phone_ids"]
