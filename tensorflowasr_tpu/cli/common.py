@@ -14,12 +14,15 @@ from tensorflowasr_tpu.utils.text import (
 )
 
 
-def config_parser(description: str) -> argparse.ArgumentParser:
+def config_parser(description: str,
+                  model_required: bool = True) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=description)
     p.add_argument("--data_config", required=True,
                    help="data YAML (speech/augments/running config)")
-    p.add_argument("--model_config", required=True,
-                   help="model YAML (model_config section)")
+    p.add_argument("--model_config", required=model_required,
+                   help="model YAML (model_config section)" +
+                        ("" if model_required
+                         else "; optional — defaults to the data YAML"))
     p.add_argument("--total_steps", type=int, default=10000)
     p.add_argument("--data_workers", type=int, default=4,
                    help="host threads for wav loading (reference: "
@@ -36,9 +39,21 @@ def config_parser(description: str) -> argparse.ArgumentParser:
 
 
 def load_config(args) -> UserConfig:
+    import os
+
     logging.basicConfig(
         level=getattr(logging, args.log_level.upper(), logging.INFO),
         format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    # persistent XLA compile cache: full-size programs take 30 s - 4 min
+    # each over a tunneled TPU; restarts/resumes skip recompiling every
+    # bucket shape. jax.config.update (not env vars: jax snapshots the
+    # environment at import, which happens before any CLI code runs)
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/tasr_xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     return UserConfig(args.data_config, args.model_config)
 
 

@@ -14,6 +14,17 @@ from tensorflowasr_tpu.cli.common import (
 )
 
 
+def _one_pass(args, dl) -> int:
+    """--max_batches default = ONE pass over the eval list (the generator
+    cycles endlessly; the reference tester stops after its eval dataset)."""
+    if args.max_batches is not None:
+        return args.max_batches
+    n = len(dl.test_list)
+    if not n:
+        raise RuntimeError("speech_config.eval_list is empty")
+    return max(1, -(-n // dl.batch))
+
+
 def main(argv=None) -> int:
     parser = config_parser(__doc__)
     parser.add_argument("--max_batches", type=int, default=None)
@@ -46,7 +57,7 @@ def main(argv=None) -> int:
                   file=sys.stderr)
         tester = ChunkTester(trainer.predict_step, trainer.state)
         result = tester.run(dl.generator(train=False),
-                            max_batches=args.max_batches)
+                            max_batches=_one_pass(args, dl))
     else:
         from tensorflowasr_tpu.data.am_dataloader import AMDataLoader
         from tensorflowasr_tpu.eval.testers import AMTester
@@ -72,7 +83,7 @@ def main(argv=None) -> int:
                 lm_weight=args.lm_weight)
         tester = AMTester(trainer, char_end_id=char_f.endid())
         result = tester.run(dl.generator(train=False),
-                            max_batches=args.max_batches)
+                            max_batches=_one_pass(args, dl))
     print(json.dumps(result))
     return 0
 

@@ -59,7 +59,8 @@ def _to_ids(lines: Sequence[str], unit: str, phone_f, char_f, p2p, pin,
 
 
 def main(argv=None):
-    p = config_parser("train an on-chip n-gram LM from transcript lists")
+    p = config_parser("train an on-chip n-gram LM from transcript lists",
+                      model_required=False)
     p.add_argument("--lists", nargs="+", default=None,
                    help="data lists (wav\\ttext); default: train_list "
                         "from the data config")
@@ -73,6 +74,8 @@ def main(argv=None):
     p.add_argument("--lm", default=None,
                    help="existing lm.npz: skip training, evaluate only")
     args = p.parse_args(argv)
+    if not args.model_config:
+        args.model_config = args.data_config   # LM needs only the data YAML
     config = load_config(args)
 
     phone_f, char_f, p2p, pin, tap = build_featurizers(config)

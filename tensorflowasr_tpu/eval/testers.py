@@ -58,8 +58,14 @@ class AMTester:
                                   int(batch["phone_length"][i]))
                 hyp_p = _trim_pad(phone_ids[i], int(phone_lens[i]))
                 self.phone_acc.update(ref_p, hyp_p)
-                ref_c = _trim_pad(batch["chars"][i],
-                                  int(batch["char_length"][i]))
+                # endid stripped from BOTH sides like the reference
+                # (am_tester.py:75-80) — references carry </S> but the
+                # translator hypothesis stops AT it; counting it scored a
+                # guaranteed deletion per utterance (~+11% char CER on
+                # 9-char utts)
+                ref_c = [v for v in _trim_pad(batch["chars"][i],
+                                              int(batch["char_length"][i]))
+                         if v != self.char_end_id]
                 hyp_c = self._trim_chars(char_ids[i])
                 self.char_acc.update(ref_c, hyp_c)
             if (step + 1) % self.log_every == 0:

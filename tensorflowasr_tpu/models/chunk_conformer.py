@@ -143,7 +143,7 @@ class ChunkConformerConfig:
             d = dict(section or {})
             keys = ("dmodel", "num_blocks", "head_size", "num_heads",
                     "kernel_size", "fc_factor", "dropout", "win_front",
-                    "win_back")
+                    "win_back", "scan_layers")
             kw = {k: d[k] for k in keys if k in d}
             return ChunkStackConfig(**{**defaults, **kw})
 

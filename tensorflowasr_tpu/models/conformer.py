@@ -129,6 +129,7 @@ class ConformerConfig:
             add_wav_info=g(sc, "add_wav_info", False),
             streaming=g(sc, "streaming", False),
             streaming_bucket=g(sc, "streaming_bucket", 0.5),
+            scan_layers=g(mc, "scan_layers", False),
         )
 
 
