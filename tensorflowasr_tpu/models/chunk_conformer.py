@@ -80,6 +80,8 @@ class ChunkStackConfig:
     win_back: int = 0
     scan_layers: bool = False    # lax.scan over blocks (stacked params;
     #   ~num_blocks-fold faster compiles, e.g. the fused streaming step)
+    scan_unroll: int = 1         # scan unroll factor (backward speed;
+    #   see ChunkStack._scan)
 
     @property
     def lookahead(self) -> int:
@@ -110,6 +112,12 @@ class ChunkConformerConfig:
     mel_layer_trainable: bool = False
     stride_ms: int = 10
     chunk_num: int = 16          # mel frames per streaming step (>= 14)
+    # on-device SpecAugment (training only; ops/specaug.py)
+    spec_augment: bool = False
+    specaug_freq_masks: int = 2
+    specaug_freq_width: int = 27
+    specaug_time_masks: int = 2
+    specaug_time_ratio: float = 0.05
     # stacks
     encoder: ChunkStackConfig = ChunkStackConfig(num_blocks=15)
     picker: ChunkStackConfig = ChunkStackConfig(num_blocks=1)
@@ -143,7 +151,7 @@ class ChunkConformerConfig:
             d = dict(section or {})
             keys = ("dmodel", "num_blocks", "head_size", "num_heads",
                     "kernel_size", "fc_factor", "dropout", "win_front",
-                    "win_back", "scan_layers")
+                    "win_back", "scan_layers", "scan_unroll")
             kw = {k: d[k] for k in keys if k in d}
             return ChunkStackConfig(**{**defaults, **kw})
 
@@ -157,6 +165,11 @@ class ChunkConformerConfig:
             mel_layer_trainable=front.get("mel_layer_trainable", False),
             stride_ms=front.get("stride_ms", 10),
             chunk_num=front.get("chunk_num", 16),
+            spec_augment=front.get("spec_augment", False),
+            specaug_freq_masks=front.get("specaug_freq_masks", 2),
+            specaug_freq_width=front.get("specaug_freq_width", 27),
+            specaug_time_masks=front.get("specaug_time_masks", 2),
+            specaug_time_ratio=front.get("specaug_time_ratio", 0.05),
             encoder=stack(mc.get("ChunkConformerEncoder"), num_blocks=15),
             picker=stack(mc.get("ChunkCTCPicker"), num_blocks=1),
             decoder=stack(mc.get("ChunkCTCDecoder"), num_blocks=1,
@@ -453,6 +466,16 @@ class ChunkFront(nn.Module):
     def __call__(self, wav: jnp.ndarray, training: bool = False
                  ) -> jnp.ndarray:
         mel = self._mel(wav)
+        if training and self.cfg.spec_augment:
+            from tensorflowasr_tpu.ops.specaug import spec_augment
+
+            c = self.cfg
+            mel = spec_augment(
+                mel, self.make_rng("dropout"),
+                n_freq_masks=c.specaug_freq_masks,
+                freq_width=c.specaug_freq_width,
+                n_time_masks=c.specaug_time_masks,
+                time_ratio=c.specaug_time_ratio)
         return self.sub(mel[..., None], training)
 
     def stream_call(self, wav: jnp.ndarray, wav_cache: jnp.ndarray,
@@ -493,11 +516,17 @@ class ChunkStack(nn.Module):
                 for i in range(self.cfg.num_blocks)]
 
     def _scan(self, body):
+        # scan_unroll trades compile time back for backward speed (the
+        # scan bwd's stacked-grad accumulation is ~2x the unrolled loop on
+        # TPU) while keeping the stacked param layout — set it to
+        # num_blocks for TRAINING configs, leave 1 for the fused
+        # streaming compiles (inference-only, no backward)
         return nn.scan(
             body,
             variable_axes={"params": 0, "batch_stats": 0},
             split_rngs={"params": True, "dropout": True},
-            length=self.cfg.num_blocks)
+            length=self.cfg.num_blocks,
+            unroll=max(1, min(self.cfg.scan_unroll, self.cfg.num_blocks)))
 
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         if self.cfg.scan_layers:

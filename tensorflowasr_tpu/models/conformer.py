@@ -69,6 +69,13 @@ class ConformerConfig:
     mel_layer_type: str = "Melspectrogram"   # Melspectrogram | Spectrogram | leaf
     mel_layer_trainable: bool = False
     add_wav_info: bool = False               # add WavePickModel features
+    # on-device SpecAugment (training only; ops/specaug.py — replaces the
+    # reference's host-side STFT hole masking at zero host cost)
+    spec_augment: bool = False
+    specaug_freq_masks: int = 2
+    specaug_freq_width: int = 27
+    specaug_time_masks: int = 2
+    specaug_time_ratio: float = 0.05
     # streaming (block) variant
     streaming: bool = False
     streaming_bucket: float = 0.5            # seconds per chunk
@@ -78,6 +85,10 @@ class ConformerConfig:
     #   (stacked [L, ...] params; ~L-fold faster XLA compiles — use for
     #   deep stacks / the 17-minute fused streaming compile; param trees
     #   are NOT checkpoint-compatible with the unrolled layout)
+    scan_unroll: int = 1                     # lax.scan unroll factor: the
+    #   scan backward pays a heavy stacked-grad accumulation on TPU
+    #   (70 -> 39 ms fwd+bwd for the 13-block stack when fully unrolled);
+    #   set to num_blocks for training, keep 1 for inference compiles
 
     @property
     def dtype(self):
@@ -127,9 +138,15 @@ class ConformerConfig:
             mel_layer_type=g(sc, "mel_layer_type", "Melspectrogram"),
             mel_layer_trainable=g(sc, "mel_layer_trainable", False),
             add_wav_info=g(sc, "add_wav_info", False),
+            spec_augment=g(sc, "spec_augment", False),
+            specaug_freq_masks=g(sc, "specaug_freq_masks", 2),
+            specaug_freq_width=g(sc, "specaug_freq_width", 27),
+            specaug_time_masks=g(sc, "specaug_time_masks", 2),
+            specaug_time_ratio=g(sc, "specaug_time_ratio", 0.05),
             streaming=g(sc, "streaming", False),
             streaming_bucket=g(sc, "streaming_bucket", 0.5),
             scan_layers=g(mc, "scan_layers", False),
+            scan_unroll=g(mc, "scan_unroll", 1),
         )
 
 
@@ -142,7 +159,8 @@ def _encoder_blocks(c: "ConformerConfig", x, training):
             num_blocks=c.num_blocks, input_dim=c.dmodel, dropout=c.dropout,
             fc_factor=c.fc_factor, head_size=c.head_size,
             num_heads=c.num_heads, kernel_size=c.kernel_size,
-            dtype=c.dtype, name="conformer_blocks")(x, training)
+            dtype=c.dtype, unroll=c.scan_unroll,
+            name="conformer_blocks")(x, training)
     for i in range(c.num_blocks):
         x = ConformerBlock(
             input_dim=c.dmodel, dropout=c.dropout,
@@ -199,6 +217,15 @@ class ConformerEncoder(nn.Module):
         c = self.cfg
         wav = fe.wav_to_float(wav)
         mel = MelFrontend(c, name="mel_layer")(wav)          # [B, F, n_mels]
+        if training and c.spec_augment:
+            from tensorflowasr_tpu.ops.specaug import spec_augment
+
+            mel = spec_augment(
+                mel, self.make_rng("dropout"),
+                n_freq_masks=c.specaug_freq_masks,
+                freq_width=c.specaug_freq_width,
+                n_time_masks=c.specaug_time_masks,
+                time_ratio=c.specaug_time_ratio)
         x = mel[..., None]                                    # channel axis
         x = ConvSubsampling(c.dmodel, c.reduction_factor, c.dropout,
                             dtype=c.dtype,
@@ -237,6 +264,17 @@ class StreamingConformerEncoder(nn.Module):
                              f"streaming chunk {chunk}")
         x = wav.reshape(b * (t // chunk), chunk)
         mel = MelFrontend(c, name="mel_layer")(x)
+        if training and c.spec_augment:
+            # per-chunk masking (the chunk axis is folded into the batch);
+            # time_ratio applies to the CHUNK length here
+            from tensorflowasr_tpu.ops.specaug import spec_augment
+
+            mel = spec_augment(
+                mel, self.make_rng("dropout"),
+                n_freq_masks=c.specaug_freq_masks,
+                freq_width=c.specaug_freq_width,
+                n_time_masks=c.specaug_time_masks,
+                time_ratio=c.specaug_time_ratio)
         y = mel[..., None]
         y = ConvSubsampling(c.dmodel, c.reduction_factor, c.dropout,
                             dtype=c.dtype,

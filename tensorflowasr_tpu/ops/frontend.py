@@ -5,7 +5,8 @@ Re-designs the reference's conv-DFT Spectrogram/Melspectrogram layers
 backend_keras.py:5-37 in Z-yq/TensorflowASR) as XLA-friendly matmuls:
 
     wav [B, T]
-      -> frame (extract_patches, hop-strided windows of n_fft samples)
+      -> frame (hop-sized blocks + shifted slices; contiguous copies, no
+         gather — see frame_signal_blocks)
       -> windowed DFT as ONE [n_fft, 2*(n_fft//2+1)] matmul on the MXU
       -> power  = re^2 + im^2
       -> dB     ('same':  10*log10, per-sample max-normalized, floor -80;
@@ -149,31 +150,52 @@ def wav_to_float(wav: jnp.ndarray) -> jnp.ndarray:
     return wav
 
 
-def frame_signal(wav: jnp.ndarray, n_fft: int, hop: int,
-                 padding: str = "same") -> jnp.ndarray:
-    """[B, T] -> [B, n_frames, n_fft] hop-strided frames.
+def frame_signal_blocks(wav: jnp.ndarray, n_fft: int, hop: int,
+                        padding: str = "same") -> jnp.ndarray:
+    """[B, T] -> [B, n_frames, ceil(n_fft/hop)*hop] hop-strided frames.
 
     'same': centered zero-padding, n_frames = ceil(T / hop).
     'valid': left-pad n_fft-1 (causal; frame i ends at sample i*hop),
              n_frames = ceil(T / hop) — the chunk-streaming variant.
+
+    Implementation: the padded signal is reshaped into NON-overlapping
+    hop-sized blocks and frame rows are assembled from ceil(n_fft/hop)
+    shifted block slices — large contiguous copies instead of
+    ``conv_general_dilated_patches``'s per-element gather lowering
+    (measured 8.9 ms -> ~2 ms for the [128, 8 s] frontend on TPU v5e).
+
+    The trailing ``ceil(n_fft/hop)*hop - n_fft`` columns of each frame are
+    arbitrary padding: contract them against a zero-padded kernel (what
+    :func:`power_spectrogram` does) or slice them off
+    (:func:`frame_signal`).
     """
     if wav.ndim != 2:
         raise ValueError(f"expected [B, T], got {wav.shape}")
-    t = wav.shape[1]
+    b, t = wav.shape
+    out = -(-t // hop)
     if padding == "same":
         lo, hi = _same_pad(t, n_fft, hop)
     elif padding == "valid":
         lo, hi = n_fft - 1, 0
     else:
         raise ValueError(padding)
-    patches = jax.lax.conv_general_dilated_patches(
-        wav[:, :, None],
-        filter_shape=(n_fft,),
-        window_strides=(hop,),
-        padding=[(lo, hi)],
-        dimension_numbers=("NHC", "HIO", "NHC"),
-    )
-    return patches  # [B, n_frames, n_fft]
+    n_chunks = -(-n_fft // hop)
+    padded_len = lo + t + hi
+    nb = out - 1 + n_chunks + 1
+    total = nb * hop
+    wavp = jnp.pad(wav, ((0, 0), (lo, max(0, total - padded_len) + hi)))
+    wavp = wavp[:, :total]
+    blocks = wavp.reshape(b, nb, hop)
+    shifts = [blocks[:, j:j + out] for j in range(n_chunks)]
+    return jnp.stack(shifts, axis=2).reshape(b, out, n_chunks * hop)
+
+
+def frame_signal(wav: jnp.ndarray, n_fft: int, hop: int,
+                 padding: str = "same") -> jnp.ndarray:
+    """[B, T] -> [B, n_frames, n_fft] hop-strided frames (see
+    :func:`frame_signal_blocks` for the padding semantics and the
+    TPU-friendly lowering)."""
+    return frame_signal_blocks(wav, n_fft, hop, padding)[:, :, :n_fft]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -207,13 +229,22 @@ def _frontend_constants(cfg: LogMelFrontendConfig):
     return dft, fb
 
 
+@functools.lru_cache(maxsize=8)
+def _padded_dft(cfg: LogMelFrontendConfig):
+    """DFT kernel zero-padded to the block-framing row count
+    (ceil(n_fft/hop)*hop) so frames need no trailing slice — the zero rows
+    contribute exactly nothing in any matmul precision."""
+    dft, _ = _frontend_constants(cfg)
+    kpad = -(-cfg.n_fft // cfg.hop) * cfg.hop
+    return np.pad(dft, ((0, kpad - cfg.n_fft), (0, 0)))
+
+
 def power_spectrogram(wav: jnp.ndarray, cfg: LogMelFrontendConfig
                       ) -> jnp.ndarray:
     """[B, T] -> [B, n_frames, n_freq] power spectrum via one MXU matmul."""
-    dft, _ = _frontend_constants(cfg)
-    dft = jnp.asarray(dft)
-    frames = frame_signal(wav.astype(jnp.float32), cfg.n_fft, cfg.hop,
-                          cfg.padding)
+    dft = jnp.asarray(_padded_dft(cfg))
+    frames = frame_signal_blocks(wav.astype(jnp.float32), cfg.n_fft,
+                                 cfg.hop, cfg.padding)
     # HIGH (3-pass bf16 emulation) not HIGHEST (6-pass): measured on
     # TPU v5e at B=128/8s the mel output differs by <6e-4 dB while the
     # frontend drops from 15.4 ms to 11.9 ms

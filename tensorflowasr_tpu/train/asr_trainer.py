@@ -226,6 +226,16 @@ class CTCTrainer(TrainerBase):
         if compute_dtype != "float32":
             self.model_cfg = ConformerConfig(
                 **{**self.model_cfg.__dict__, "dtype_str": compute_dtype})
+        # train-time scan unroll: the lax.scan backward pays a ~2x
+        # stacked-grad accumulation penalty on TPU (measured 110 -> 83 ms
+        # per full-size step); unrolling the scan body keeps the stacked
+        # param layout (checkpoints interop) while restoring unrolled-loop
+        # speed. An explicit model_config scan_unroll wins.
+        if self.model_cfg.scan_layers and self.model_cfg.scan_unroll == 1:
+            import dataclasses as _dc
+
+            self.model_cfg = _dc.replace(
+                self.model_cfg, scan_unroll=self.model_cfg.num_blocks)
         self.model = ConformerCTC(self.model_cfg, num_phone_classes,
                                   num_char_classes)
         if blank_id != num_phone_classes - 1:

@@ -84,3 +84,25 @@ def test_scanned_train_step_descends():
         losses.append(float(m["train_loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_scan_unroll_numerics_identical():
+    """scan_unroll only changes the lax.scan lowering — outputs must match
+    unroll=1 for the same stacked params up to XLA fusion rounding."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tensorflowasr_tpu.models.layers import ScannedConformerBlocks
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 20, 32)).astype(np.float32))
+    kw = dict(num_blocks=3, input_dim=32, dropout=0.0, head_size=8,
+              num_heads=2, kernel_size=8)
+    m1 = ScannedConformerBlocks(**kw, unroll=1)
+    m3 = ScannedConformerBlocks(**kw, unroll=3)
+    v = m1.init(jax.random.PRNGKey(0), x)
+    o1 = m1.apply(v, x)
+    o3 = m3.apply(v, x)  # same params work: layout is unchanged
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o3),
+                               atol=1e-5, rtol=1e-5)
