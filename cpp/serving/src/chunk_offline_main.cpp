@@ -3,15 +3,22 @@
 // printing live text; [final] equals the JAX ChunkStreamSession decode
 // (tests/test_native_chunk.py).
 //
-// Usage: asr_chunk <artifact_dir> <wav> [--quiet]
+// Usage: asr_chunk <artifact_dir> <wav> [--quiet] [--vad <vad_dir>]
 //   artifact_dir: export_native_chunk output (weights.bin, manifest.txt,
 //                 phones.txt / chars.txt vocab copies)
+//   --vad: native OnlineVAD artifact (export_native_vad) — gate decoding
+//          on voice activity like the reference C++ session
+//          (asr_session.cpp:171-261): start on a voiced check, finalize
+//          the sentence after 5 consecutive silent checks, and skip model
+//          compute entirely during silence.
 #include <cstdio>
+#include <cstring>
 #include <string>
 #include <vector>
 
 #include "chunk_native_model.h"
 #include "tokener.h"
+#include "vad_native_model.h"
 #include "wav_reader.h"
 
 namespace {
@@ -34,7 +41,13 @@ int main(int argc, char** argv) {
                  argv[0]);
     return 2;
   }
-  const bool quiet = argc > 3 && std::string(argv[3]) == "--quiet";
+  bool quiet = false;
+  std::string vad_dir;
+  for (int i = 3; i < argc; ++i) {
+    if (std::strcmp(argv[i], "--quiet") == 0) quiet = true;
+    if (std::strcmp(argv[i], "--vad") == 0 && i + 1 < argc)
+      vad_dir = argv[++i];
+  }
   const std::string dir = argv[1];
 
   asr::ChunkNativeModel model;
@@ -63,10 +76,36 @@ int main(int argc, char** argv) {
   const int phone_blank = cfg.num_phone_classes - 1;
   const int char_blank = cfg.num_char_classes - 1;
 
+  asr::VadNativeModel vad;
+  const bool use_vad = !vad_dir.empty();
+  if (use_vad && !vad.Load(vad_dir)) {
+    std::fprintf(stderr, "failed to load vad artifact %s\n",
+                 vad_dir.c_str());
+    return 1;
+  }
+  // VAD state (reference asr_session.cpp:171-261): trailing 0.2 s vote
+  // buffer, start on voiced, finalize after kEndSilChecks silent checks
+  const long vad_keep = cfg.sample_rate / 5;
+  constexpr int kEndSilChecks = 5;
+  std::vector<float> vad_buf;
+  bool in_utt = !use_vad;  // without --vad every chunk is decoded
+  int sil_checks = 0;
+
   auto state = model.InitState();
   std::vector<int> phone_acc, char_acc, provisional;
   std::vector<float> buf(cs, 0.0f);
   std::string live;
+
+  auto sentence_text = [&](void) {
+    std::vector<int> all = char_acc;
+    all.insert(all.end(), provisional.begin(), provisional.end());
+    std::string text;
+    for (int id : Collapse(all, char_blank)) {
+      const std::string& tok = chars.Token(id);
+      if (tok != "<S>" && tok != "</S>") text += tok;
+    }
+    return text;
+  };
 
   const size_t n_chunks = (wav.samples.size() + cs - 1) / cs;
   for (size_t ci = 0; ci < n_chunks; ++ci) {
@@ -75,6 +114,34 @@ int main(int argc, char** argv) {
     std::fill(buf.begin(), buf.end(), 0.0f);
     std::copy(wav.samples.begin() + pos, wav.samples.begin() + pos + n,
               buf.begin());
+    if (use_vad) {
+      vad_buf.insert(vad_buf.end(), buf.begin(), buf.end());
+      if ((long)vad_buf.size() > vad_keep)
+        vad_buf.erase(vad_buf.begin(), vad_buf.end() - vad_keep);
+      const bool voiced =
+          vad.Voiced(vad_buf.data(), (long)vad_buf.size());
+      if (!in_utt) {
+        if (!voiced) continue;  // silence: no model compute at all
+        in_utt = true;
+        sil_checks = 0;
+      } else if (!voiced) {
+        if (++sil_checks >= kEndSilChecks) {
+          // sentence end: flush and reset for the next utterance
+          if (have_chars)
+            std::printf("[sentence] %s\n", sentence_text().c_str());
+          state = model.InitState();
+          phone_acc.clear();
+          char_acc.clear();
+          provisional.clear();
+          live.clear();
+          in_utt = false;
+          sil_checks = 0;
+          continue;
+        }
+      } else {
+        sil_checks = 0;
+      }
+    }
     auto res = model.Step(&state, buf.data());
     if (res.n_final > 0) {
       const int t = (int)res.phone_ids.size();

@@ -4,10 +4,15 @@
 // Inference/CppInference/onnx runner, re-hosted on our native engine).
 //
 // Usage: asr_offline <artifact_dir> <wav> [--dump <logits.bin>]
+//                    [--vad <vad_artifact_dir>]
 //   artifact_dir: output of tensorflowasr_tpu.export.native_export
 //                 (weights.bin + manifest.txt [+ phones.txt chars.txt])
 //   --dump:       also write phone logits as int32 t,v header + float32
 //                 payload (used by tests/test_native_engine.py parity)
+//   --vad:        native OnlineVAD artifact (export_native_vad): segment
+//                 the wav first (merge gaps < 0.1 s, resplit > 15 s —
+//                 OfflineVAD semantics) and decode per segment, like the
+//                 reference offline session (offline_asr_session.py:15-98)
 #include <cmath>
 #include <cstdio>
 #include <cstring>
@@ -17,19 +22,23 @@
 
 #include "native_model.h"
 #include "tokener.h"
+#include "vad_native_model.h"
 #include "wav_reader.h"
 
 int main(int argc, char** argv) {
   if (argc < 3) {
     std::fprintf(stderr,
-                 "usage: %s <artifact_dir> <wav> [--dump <logits.bin>]\n",
+                 "usage: %s <artifact_dir> <wav> [--dump <logits.bin>]"
+                 " [--vad <vad_artifact_dir>]\n",
                  argv[0]);
     return 2;
   }
   const std::string dir = argv[1];
-  std::string dump_path;
-  for (int i = 3; i + 1 < argc; ++i)
+  std::string dump_path, vad_dir;
+  for (int i = 3; i + 1 < argc; ++i) {
     if (std::strcmp(argv[i], "--dump") == 0) dump_path = argv[i + 1];
+    if (std::strcmp(argv[i], "--vad") == 0) vad_dir = argv[i + 1];
+  }
 
   asr::NativeModel model;
   if (!model.Load(dir)) {
@@ -51,6 +60,49 @@ int main(int argc, char** argv) {
   for (float v : wav.samples) peak = std::max(peak, std::fabs(v));
   if (peak > 0)
     for (float& v : wav.samples) v /= peak;
+
+  if (!vad_dir.empty()) {
+    // segment-then-decode, the reference offline session's flow
+    asr::VadNativeModel vad;
+    if (!vad.Load(vad_dir)) {
+      std::fprintf(stderr, "failed to load vad artifact %s\n",
+                   vad_dir.c_str());
+      return 1;
+    }
+    const auto segs = vad.Segments(wav.samples.data(),
+                                   (long)wav.samples.size(),
+                                   wav.sample_rate);
+    asr::Tokener char_tok;
+    const bool have_chars = char_tok.Load(dir + "/chars.txt", false);
+    std::string all_text;
+    for (size_t si = 0; si < segs.size(); ++si) {
+      std::vector<float> seg(wav.samples.begin() + segs[si].start,
+                             wav.samples.begin() + segs[si].end);
+      asr::Tensor enc = model.Encode(seg);
+      asr::Tensor logits = model.CtcLogits(enc);
+      std::vector<int> phones = model.GreedyPhones(logits);
+      std::vector<int> chars = model.Translate(phones, enc);
+      std::printf("segment %zu [%.2f, %.2f]s:", si,
+                  segs[si].start / (double)wav.sample_rate,
+                  segs[si].end / (double)wav.sample_rate);
+      std::string text;
+      if (have_chars) {
+        const int end_id = char_tok.EndId();
+        for (size_t i = 0; i < phones.size() && i < chars.size(); ++i) {
+          if (chars[i] == end_id) break;
+          text += char_tok.Token(chars[i]);
+        }
+        std::printf(" %s", text.c_str());
+      } else {
+        for (size_t i = 0; i < phones.size(); ++i)
+          std::printf(" %d", phones[i]);
+      }
+      std::printf("\n");
+      all_text += text;
+    }
+    std::printf("text: %s\n", all_text.c_str());
+    return 0;
+  }
 
   asr::Tensor enc = model.Encode(wav.samples);
   asr::Tensor logits = model.CtcLogits(enc);

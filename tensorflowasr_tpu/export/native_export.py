@@ -130,6 +130,61 @@ def export_native(model: ConformerCTC, variables: dict, outdir: str,
             shutil.copyfile(src, os.path.join(outdir, dst))
 
 
+def export_native_vad(model, variables: dict, outdir: str) -> None:
+    """Write the native artifact for the OnlineVAD voice-logit head.
+
+    Completes the reference's 4-model standalone C++ session
+    (Inference/CppInference/onnx/src/core/asr_session.h:7-38 loads
+    vad/encoder/ctc/translator onnx): cpp/serving's
+    vad_native_model.cpp re-implements the causal CNN
+    (models/vad.py::OnlineVAD) so the offline and chunk-streaming native
+    engines can gate decoding on VAD with no Python at runtime.
+    """
+    from tensorflowasr_tpu.models.vad import OnlineVAD
+
+    if not isinstance(model, OnlineVAD):
+        raise ValueError("native VAD export supports OnlineVAD (the causal "
+                         "streaming variant the serving sessions use)")
+    os.makedirs(outdir, exist_ok=True)
+
+    tensors: List[Tuple[str, np.ndarray]] = []
+    # only the voice-logit path — the audio_voice_mask recon head is a
+    # training-time auxiliary (vad_model.py:44-58 exports logits only)
+    for name in ("embed", "dense1", "cnn1", "dense2", "cnn2", "dense3",
+                 "fc"):
+        sub = variables["params"][name]
+        tensors.append((f"params/{name}/kernel", np.asarray(sub["kernel"])))
+        tensors.append((f"params/{name}/bias", np.asarray(sub["bias"])))
+
+    manifest: Dict = {
+        "config": {
+            "kind": "vad",
+            "dmodel": model.dmodel,
+            "frame_input": model.frame_input,
+        },
+        "tensors": [],
+    }
+    offset = 0
+    with open(os.path.join(outdir, "weights.bin"), "wb") as f:
+        for name, arr in tensors:
+            arr = np.ascontiguousarray(arr, dtype=np.float32)
+            manifest["tensors"].append(
+                {"name": name, "shape": list(arr.shape), "offset": offset})
+            f.write(arr.tobytes())
+            offset += arr.nbytes
+    with open(os.path.join(outdir, "manifest.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(manifest, f, indent=1)
+    with open(os.path.join(outdir, "manifest.txt"), "w",
+              encoding="utf-8") as f:
+        for k, v in manifest["config"].items():
+            f.write(f"config {k} {v}\n")
+        for t in manifest["tensors"]:
+            dims = " ".join(str(d) for d in t["shape"])
+            f.write(f"tensor {t['name']} {t['offset']} "
+                    f"{len(t['shape'])} {dims}\n")
+
+
 def _unstack_chunk_stack(tree: dict) -> dict:
     """scan_layers stack subtree {'block': stacked [L, ...]} ->
     {'block_{i}': ...} (the layout the C++ engine reads)."""
