@@ -1,15 +1,18 @@
 """Pallas TPU kernel: fused framing + windowed DFT power spectrogram.
 
-STATUS / measured reality: this kernel compiles under Mosaic and matches
-the XLA path numerically (rel ~1e-3: MXU bf16 passes vs Precision.HIGHEST),
-but on TPU v5e it is SLOWER than the XLA path (0.23 ms vs 0.03 ms for
-16 x 16 s batch) — XLA fuses conv_general_dilated_patches + matmul into a
-direct strided convolution and never materializes the frames, so there is
-no HBM traffic to save. The XLA path in ops/frontend.py therefore remains
-the default; this module is kept as a correct, tested Pallas formulation
-of the framing problem (the shifted-matmul decomposition below is the
-building block for future fused streaming-frontend kernels where XLA
-cannot fuse across the cache boundary).
+STATUS / measured reality (TPU v5e, B=128 x 8 s, scalar-fetch timing —
+the round-1 "XLA is 8x faster" comparison was a tunnel timing artifact):
+this kernel runs the power spectrogram in 8.1 ms vs 10.0 ms for the XLA
+block-framing path (ops/frontend.py frame_signal_blocks) — but at
+default MXU precision (single bf16 pass, max mel-dB error 0.14 vs
+Precision.HIGHEST) while the XLA path runs 3-pass bf16 emulation (error
+0.0007). At matched precision the 3x matmul cost erases the lead, and
+fusing the dB+mel epilogue in-kernel would break the reference's
+max-normalize-then-floor dB parity (per-example GLOBAL max — needs two
+passes). The XLA path therefore remains the default; this module is the
+tested Pallas formulation of the framing problem (the shifted-matmul
+decomposition below is the building block for streaming-frontend fusions
+where XLA cannot fuse across the cache boundary).
 
 Design:
 
