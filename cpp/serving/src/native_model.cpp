@@ -103,21 +103,27 @@ Tensor NativeModel::LogMel(const std::vector<float>& wav) const {
 
   // frame -> windowed DFT matmul (ops/frontend.py power_spectrogram)
   const Tensor& dft = get("frontend/dft");       // [n_fft, 2*n_freq]
-  std::vector<float> frame(n_fft);
+  // materialize ALL frames and run ONE blocked matmul (a per-frame m=1
+  // MatMul defeats the register blocking — measured 3x slower)
+  std::vector<float> all_frames((long)frames * n_fft, 0.0f);
+  for (int f = 0; f < frames; ++f) {
+    const int start = f * hop - lo;
+    const int s0 = std::max(start, 0);
+    const int s1 = std::min(start + n_fft, t);
+    if (s1 > s0)
+      std::memcpy(all_frames.data() + (long)f * n_fft + (s0 - start),
+                  wav.data() + s0, (size_t)(s1 - s0) * sizeof(float));
+  }
+  std::vector<float> spec((long)frames * 2 * n_freq);
+  MatMul(all_frames.data(), dft.data.data(), spec.data(), frames, n_fft,
+         2 * n_freq);
   Tensor power;
   power.shape = {frames, n_freq};
   power.data.resize((long)frames * n_freq);
-  std::vector<float> spec(2 * n_freq);
   for (int f = 0; f < frames; ++f) {
-    const int start = f * hop - lo;
-    for (int i = 0; i < n_fft; ++i) {
-      const int s = start + i;
-      frame[i] = (s >= 0 && s < t) ? wav[s] : 0.0f;
-    }
-    MatMul(frame.data(), dft.data.data(), spec.data(), 1, n_fft,
-           2 * n_freq);
+    const float* sp = spec.data() + (long)f * 2 * n_freq;
     for (int j = 0; j < n_freq; ++j) {
-      const float re = spec[j], im = spec[n_freq + j];
+      const float re = sp[j], im = sp[n_freq + j];
       power.data[(long)f * n_freq + j] = re * re + im * im;
     }
   }
@@ -259,24 +265,33 @@ void NativeModel::ConformerBlockFwd(Tensor* x, const std::string& prefix,
     Tensor ctx;
     ctx.shape = {t, h * hs};
     ctx.data.assign((long)t * h * hs, 0.0f);
-    std::vector<float> scores(tk);
+    // per-head matmul formulation: Qh [t, hs] @ Kh^T [hs, tk] -> softmax
+    // rows -> @ Vh [tk, hs] — the scalar dot loops this replaces were the
+    // engine's top hot spot (gprof 41% self in the block forward)
+    std::vector<float> qh((long)t * hs), kt((long)hs * tk),
+        vh((long)tk * hs), scores((long)t * tk), ctxh((long)t * hs);
     for (int head = 0; head < h; ++head) {
-      for (int i = 0; i < t; ++i) {
-        const float* qi = q.data.data() + (long)i * h * hs + head * hs;
-        for (int j = 0; j < tk; ++j) {
-          const float* kj = k.data.data() + (long)j * h * hs + head * hs;
-          float s = 0;
-          for (int e = 0; e < hs; ++e) s += qi[e] * kj[e];
-          scores[j] = s * scale;
-        }
-        SoftmaxRow(scores.data(), tk);
-        float* out = ctx.data.data() + (long)i * h * hs + head * hs;
-        for (int j = 0; j < tk; ++j) {
-          const float w = scores[j];
-          const float* vj = v.data.data() + (long)j * h * hs + head * hs;
-          for (int e = 0; e < hs; ++e) out[e] += w * vj[e];
-        }
+      for (int i = 0; i < t; ++i)
+        std::memcpy(qh.data() + (long)i * hs,
+                    q.data.data() + (long)i * h * hs + head * hs,
+                    (size_t)hs * sizeof(float));
+      for (int j = 0; j < tk; ++j) {
+        const float* kj = k.data.data() + (long)j * h * hs + head * hs;
+        for (int e = 0; e < hs; ++e) kt[(long)e * tk + j] = kj[e];
+        std::memcpy(vh.data() + (long)j * hs,
+                    v.data.data() + (long)j * h * hs + head * hs,
+                    (size_t)hs * sizeof(float));
       }
+      MatMul(qh.data(), kt.data(), scores.data(), t, hs, tk);
+      for (int i = 0; i < t; ++i) {
+        float* row = scores.data() + (long)i * tk;
+        for (int j = 0; j < tk; ++j) row[j] *= scale;
+        SoftmaxRow(row, tk);
+      }
+      MatMul(scores.data(), vh.data(), ctxh.data(), t, tk, hs);
+      for (int i = 0; i < t; ++i)
+        std::memcpy(ctx.data.data() + (long)i * h * hs + head * hs,
+                    ctxh.data() + (long)i * hs, (size_t)hs * sizeof(float));
     }
     // out projection: kernel [h, hs, d]
     Tensor ok = get(a + "out/kernel");
