@@ -135,3 +135,20 @@ def test_chunk_front_spec_augment_train_only():
     np.testing.assert_array_equal(
         np.asarray(jax.tree_util.tree_leaves(o1)[0]),
         np.asarray(jax.tree_util.tree_leaves(o2)[0]))
+
+
+def test_spec_augment_flows_from_user_config():
+    """speech_config.spec_augment reaches the model config through the
+    same two-YAML path the CLIs use."""
+    from tensorflowasr_tpu.models.conformer import ConformerConfig
+    from tensorflowasr_tpu.models.chunk_conformer import ChunkConformerConfig
+    from tensorflowasr_tpu.utils.config import UserConfig
+
+    cfg = UserConfig(extra={
+        "speech_config": {"spec_augment": True, "specaug_freq_width": 13},
+        "model_config": {"name": "ConformerCTC",
+                         "ChunkConformerFront": {"spec_augment": True}}})
+    c = ConformerConfig.from_user_config(cfg)
+    assert c.spec_augment and c.specaug_freq_width == 13
+    cc = ChunkConformerConfig.from_user_config(cfg)
+    assert cc.spec_augment
