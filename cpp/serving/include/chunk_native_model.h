@@ -53,11 +53,18 @@ struct ChunkNativeConfig {
   int sub_length() const { return chunk_num / reduction_factor; }
 };
 
-// Per-stack streaming state: one [win_front, d] attention ring and one
-// [kernel_size, d] conv ring per block, plus the shared fill counter
-// (models/chunk_conformer.py ChunkStack.stream_call).
+// Per-stack streaming state, per block: POST-projection attention K/V
+// rings [win_front, num_heads*head_size] and a POST-GLU conv activation
+// ring [kernel_size, d], plus the shared fill counter. Caching after the
+// row-local ops (LayerNorm, Q/K/V projection, pointwise conv + GLU are
+// all per-row) is bit-identical to re-projecting the window every step
+// (what models/chunk_conformer.py ChunkStack.stream_call does on TPU,
+// where the re-projection fuses into the step's big GEMMs for free) but
+// cuts the per-chunk GEMM work ~2.5x on CPU: only the t new rows are
+// projected instead of the whole win_front+t window.
 struct StackState {
-  std::vector<Tensor> mha;
+  std::vector<Tensor> key;
+  std::vector<Tensor> val;
   std::vector<Tensor> cnn;
   int fill = 0;
 };
@@ -95,8 +102,11 @@ class ChunkNativeModel {
   const ChunkNativeConfig& config() const { return cfg_; }
 
   ChunkStreamState InitState() const;
-  // Process exactly chunk_samples() samples.
-  ChunkStepResult Step(ChunkStreamState* st, const float* chunk) const;
+  // Process exactly chunk_samples() samples. live=false skips the
+  // provisional-row char logits (display-only lookahead text), leaving
+  // only the committed-row decode — cheaper when no live text is shown.
+  ChunkStepResult Step(ChunkStreamState* st, const float* chunk,
+                       bool live = true) const;
 
  private:
   const Tensor& get(const std::string& name) const;
@@ -104,8 +114,8 @@ class ChunkNativeModel {
   Tensor StackStream(const std::string& prefix, const ChunkStackCfg& c,
                      StackState* st, const Tensor& x, int skip) const;
   void BlockStream(const std::string& prefix, const ChunkStackCfg& c,
-                   Tensor* x, Tensor* mha_cache, Tensor* cnn_cache,
-                   int fill, int skip, int n_keep) const;
+                   Tensor* x, Tensor* key_cache, Tensor* val_cache,
+                   Tensor* g_cache, int fill, int skip, int n_keep) const;
 
   std::map<std::string, Tensor> tensors_;
   ChunkNativeConfig cfg_;

@@ -178,6 +178,25 @@ bool ChunkNativeModel::Load(const std::string& dir) {
       tensors_.emplace(std::move(name), std::move(t));
     }
   }
+  // Flatten MHA projection kernels/biases to 2-D/1-D once, so the hot
+  // path calls Dense on them directly instead of copying+reshaping the
+  // weight tensor every block step ([d,h,hs] -> [d,h*hs]; out kernel
+  // [h,hs,d] -> [h*hs,d]; bias [h,hs] -> [h*hs]).
+  for (auto& kv : tensors_) {
+    const std::string& n = kv.first;
+    if (n.find("/mhsa/mha/") == std::string::npos) continue;
+    Tensor& t = kv.second;
+    const bool kernel =
+        n.size() > 7 && n.compare(n.size() - 7, 7, "/kernel") == 0;
+    if (kernel && t.shape.size() == 3) {
+      if (n.find("/out/kernel") != std::string::npos)
+        t.shape = {t.shape[0] * t.shape[1], t.shape[2]};
+      else
+        t.shape = {t.shape[0], t.shape[1] * t.shape[2]};
+    } else if (!kernel && t.shape.size() == 2) {
+      t.shape = {t.shape[0] * t.shape[1]};
+    }
+  }
   return is_chunk && cfg_.num_phone_classes > 0;
 }
 
@@ -188,7 +207,8 @@ ChunkStreamState ChunkNativeModel::InitState() const {
   auto stack = [](const ChunkStackCfg& c) {
     StackState s;
     for (int i = 0; i < c.num_blocks; ++i) {
-      s.mha.push_back(ZerosT(c.win_front, c.dmodel));
+      s.key.push_back(ZerosT(c.win_front, c.num_heads * c.head_size));
+      s.val.push_back(ZerosT(c.win_front, c.num_heads * c.head_size));
       s.cnn.push_back(ZerosT(c.kernel_size, c.dmodel));
     }
     return s;
@@ -232,26 +252,34 @@ Tensor ChunkNativeModel::FrontStep(ChunkStreamState* st,
   Tensor mel;
   mel.shape = {t, n_mels};
   mel.data.assign((long)t * n_mels, 0.0f);
-  std::vector<float> frame(n_fft), spec(2 * n_freq), db(n_freq);
+  // Batch all chunk frames into ONE [t, n_fft] x [n_fft, 2*n_freq] GEMM
+  // (and one mel GEMM) — per-frame m=1 matmuls fall off the register-
+  // tiled kernel's fast path and dominated the profile.
+  std::vector<float> frames((long)t * n_fft, 0.0f);
+  std::vector<float> spec((long)t * 2 * n_freq);
+  std::vector<float> db((long)t * n_freq);
   const float inv_ln10 = 1.0f / std::log(10.0f);
   for (int f = 0; f < t; ++f) {
     const int end = (first + f) * hop;           // inclusive frame end
     const int start = end - (n_fft - 1);
+    float* row = frames.data() + (long)f * n_fft;
     for (int i = 0; i < n_fft; ++i) {
       const int s = start + i;
-      frame[i] = (s >= 0 && s < total) ? full[s] : 0.0f;
+      row[i] = (s >= 0 && s < total) ? full[s] : 0.0f;
     }
-    MatMul(frame.data(), dft.data.data(), spec.data(), 1, n_fft,
-           2 * n_freq);
-    // plain log10 power — the causal chunk variant has NO max-norm
-    // (ops/frontend.py chunk_amplitude_to_db)
-    for (int j = 0; j < n_freq; ++j) {
-      const float re = spec[j], im = spec[n_freq + j];
-      db[j] = std::log(std::max(re * re + im * im, 1e-10f)) * inv_ln10;
-    }
-    MatMul(db.data(), fb.data.data(), mel.data.data() + (long)f * n_mels,
-           1, n_freq, n_mels);
   }
+  MatMul(frames.data(), dft.data.data(), spec.data(), t, n_fft, 2 * n_freq);
+  // plain log10 power — the causal chunk variant has NO max-norm
+  // (ops/frontend.py chunk_amplitude_to_db)
+  for (int f = 0; f < t; ++f) {
+    const float* sp = spec.data() + (long)f * 2 * n_freq;
+    float* dbf = db.data() + (long)f * n_freq;
+    for (int j = 0; j < n_freq; ++j) {
+      const float re = sp[j], im = sp[n_freq + j];
+      dbf[j] = std::log(std::max(re * re + im * im, 1e-10f)) * inv_ln10;
+    }
+  }
+  MatMul(db.data(), fb.data.data(), mel.data.data(), t, n_freq, n_mels);
 
   // subsampling on [mel tail | new mel], freq pad [2, 2], two VALID convs
   const int sl = cfg_.sub_length();
@@ -297,8 +325,9 @@ Tensor ChunkNativeModel::FrontStep(ChunkStreamState* st,
 
 void ChunkNativeModel::BlockStream(const std::string& prefix,
                                    const ChunkStackCfg& c, Tensor* x,
-                                   Tensor* mha_cache, Tensor* cnn_cache,
-                                   int fill, int skip, int n_keep) const {
+                                   Tensor* key_cache, Tensor* val_cache,
+                                   Tensor* g_cache, int fill, int skip,
+                                   int n_keep) const {
   const std::string p = "params/" + prefix + "/";
   const int d = x->shape.back();
   const int t = x->dim(0);
@@ -313,64 +342,64 @@ void ChunkNativeModel::BlockStream(const std::string& prefix,
       x->data[i] += c.fc_factor * y.data[i];
   };
 
-  // advance-ring update: append x[:n_keep] (rows < skip zeroed), keep tail
-  auto advance = [&](Tensor* cache, int win) {
-    const int keep = std::max(n_keep, 0);
-    Tensor nc = ZerosT(win, d);
-    // concat(cache[win], appended[keep]) -> last win rows
-    for (int i = 0; i < win; ++i) {
-      const int j = win + keep - win + i;   // index into concat, offset win
-      // concat index = i + keep; if < win it's from cache, else appended
-      const int src = i + keep;
-      float* dst = nc.data.data() + (long)i * d;
-      if (src < win) {
-        std::memcpy(dst, cache->data.data() + (long)src * d,
-                    sizeof(float) * d);
-      } else {
-        const int r = src - win;            // appended row index
-        if (r >= skip)
-          std::memcpy(dst, x->data.data() + (long)r * d, sizeof(float) * d);
-      }
-      (void)j;
+  // advance-ring update: append src[:n_keep] (rows < skip zeroed), keep
+  // the last `win` rows. Caches hold DERIVED rows (K/V projections,
+  // post-GLU conv activations) — all row-local, so cached rows equal what
+  // re-projecting the window would produce, bit for bit.
+  auto advance = [&](Tensor* cache, int win, const Tensor& src, int w) {
+    const int keep = std::max(std::min(n_keep, win), 0);
+    float* cd = cache->data.data();
+    // shift left by `keep` rows in place, then write the appended rows
+    // (rows < skip are ring-warmup garbage -> zeroed)
+    if (keep > 0)
+      std::memmove(cd, cd + (long)keep * w,
+                   sizeof(float) * (long)(win - keep) * w);
+    for (int r = n_keep - keep; r < n_keep; ++r) {
+      float* dst = cd + (long)(win - n_keep + r) * w;
+      if (r >= skip)
+        std::memcpy(dst, src.data.data() + (long)r * w, sizeof(float) * w);
+      else
+        std::memset(dst, 0, sizeof(float) * w);
     }
-    *cache = std::move(nc);
   };
 
   ff("ff_module_1");
 
-  // MHSA with banded mask over [cache | x] (stream_band_mask)
+  // MHSA with banded mask over [K/V cache | projected new rows]
+  // (stream_band_mask). Only the t new rows are layer-normed + projected;
+  // the win_front context K/V come from the cache.
   {
     const int wf = c.win_front;
     const int L = wf + t;
-    Tensor full;
-    full.shape = {L, d};
-    full.data.resize((long)L * d);
-    std::memcpy(full.data.data(), mha_cache->data.data(),
-                sizeof(float) * wf * d);
-    std::memcpy(full.data.data() + (long)wf * d, x->data.data(),
-                sizeof(float) * t * d);
-    advance(mha_cache, wf);                 // cache stores pre-LN inputs
-
-    Tensor y = full;
-    LayerNormIp(&y, get(p + "mhsa/ln/scale"), get(p + "mhsa/ln/bias"));
     const int h = c.num_heads, hs = c.head_size;
+    const int dk = h * hs;
     const std::string a = p + "mhsa/mha/";
-    auto proj = [&](const Tensor& inp, const char* name) {
-      Tensor kern = get(a + name + "/kernel");
-      Tensor bias = get(a + name + "/bias");
-      Tensor k2;
-      k2.shape = {kern.dim(0), kern.dim(1) * kern.dim(2)};
-      k2.data = kern.data;
-      Tensor b2;
-      b2.shape = {bias.dim(0) * bias.dim(1)};
-      b2.data = bias.data;
-      return Dense(inp, k2, b2);
-    };
-    Tensor q0 = proj(y, "query"), k0 = proj(y, "key"), v0 = proj(y, "value");
+    Tensor y = *x;
+    LayerNormIp(&y, get(p + "mhsa/ln/scale"), get(p + "mhsa/ln/bias"));
+    Tensor qn = Dense(y, get(a + "query/kernel"), get(a + "query/bias"));
+    Tensor kn = Dense(y, get(a + "key/kernel"), get(a + "key/bias"));
+    Tensor vn = Dense(y, get(a + "value/kernel"), get(a + "value/bias"));
+    Tensor K;
+    K.shape = {L, dk};
+    K.data.resize((long)L * dk);
+    std::memcpy(K.data.data(), key_cache->data.data(),
+                sizeof(float) * wf * dk);
+    std::memcpy(K.data.data() + (long)wf * dk, kn.data.data(),
+                sizeof(float) * t * dk);
+    Tensor V;
+    V.shape = {L, dk};
+    V.data.resize((long)L * dk);
+    std::memcpy(V.data.data(), val_cache->data.data(),
+                sizeof(float) * wf * dk);
+    std::memcpy(V.data.data() + (long)wf * dk, vn.data.data(),
+                sizeof(float) * t * dk);
+    advance(key_cache, wf, kn, dk);
+    advance(val_cache, wf, vn, dk);
+
     const float scale = 1.0f / std::sqrt((float)hs);
     Tensor ctx;
-    ctx.shape = {t, h * hs};
-    ctx.data.assign((long)t * h * hs, 0.0f);
+    ctx.shape = {t, dk};
+    ctx.data.assign((long)t * dk, 0.0f);
     std::vector<float> scores(L);
     std::vector<char> valid(L);
     for (int j = 0; j < L; ++j)
@@ -383,63 +412,61 @@ void ChunkNativeModel::BlockStream(const std::string& prefix,
         int high = std::min(pq + c.win_back, L);
         low -= std::max(low - (L - c.win_back), 0);
         high += std::max(c.win_back - high, 0);
-        const float* qv =
-            q0.data.data() + (long)(wf + qi) * h * hs + head * hs;
+        const float* qv = qn.data.data() + (long)qi * dk + head * hs;
         for (int j = 0; j < L; ++j) {
           const bool ok = valid[j] && j >= low && j <= high;
           if (!ok) {
             scores[j] = -1e30f;
             continue;
           }
-          const float* kj = k0.data.data() + (long)j * h * hs + head * hs;
+          const float* kj = K.data.data() + (long)j * dk + head * hs;
           float s = 0;
           for (int e = 0; e < hs; ++e) s += qv[e] * kj[e];
           scores[j] = s * scale;
         }
         SoftmaxRow(scores.data(), L);
-        float* out = ctx.data.data() + (long)qi * h * hs + head * hs;
+        float* out = ctx.data.data() + (long)qi * dk + head * hs;
         for (int j = 0; j < L; ++j) {
           const float w = scores[j];
-          if (w == 0.0f) continue;
-          const float* vj = v0.data.data() + (long)j * h * hs + head * hs;
+          // masked slots exp to ~2^-125 under FastExp (not exact 0):
+          // skip anything that small — it contributes < 1e-30 and
+          // subnormal FMAs are slow on x86
+          if (w <= 1e-30f) continue;
+          const float* vj = V.data.data() + (long)j * dk + head * hs;
           for (int e = 0; e < hs; ++e) out[e] += w * vj[e];
         }
       }
     }
-    Tensor ok = get(a + "out/kernel");
-    Tensor ok2;
-    ok2.shape = {ok.dim(0) * ok.dim(1), ok.dim(2)};
-    ok2.data = ok.data;
-    Tensor o = Dense(ctx, ok2, get(a + "out/bias"));
+    Tensor o = Dense(ctx, get(a + "out/kernel"), get(a + "out/bias"));
     for (long i = 0; i < x->size(); ++i) x->data[i] += o.data[i];
   }
 
-  // causal conv module over [cache | x]
+  // causal conv module over [post-GLU cache | new rows]: LN + pw_conv_1
+  // + GLU are row-local, so only the t new rows are computed.
   {
     const int k = c.kernel_size;
     const int L = k + t;
     const std::string m = p + "conv_module/";
-    Tensor full;
-    full.shape = {L, d};
-    full.data.resize((long)L * d);
-    std::memcpy(full.data.data(), cnn_cache->data.data(),
-                sizeof(float) * k * d);
-    std::memcpy(full.data.data() + (long)k * d, x->data.data(),
-                sizeof(float) * t * d);
-    advance(cnn_cache, k);                  // cache stores module inputs
-
-    Tensor y = full;
+    Tensor y = *x;
     LayerNormIp(&y, get(m + "ln/scale"), get(m + "ln/bias"));
     y = Dense(y, get(m + "pw_conv_1/kernel"), get(m + "pw_conv_1/bias"));
-    // GLU + zero invalid slots (== offline causal zero pad at conv input)
-    Tensor g = ZerosT(L, d);
-    for (int i = 0; i < L; ++i) {
-      if (!SlotValid(i, k, t, fill, skip)) continue;
+    // GLU + zero invalid slots (== offline causal zero pad at conv input);
+    // new row r sits at window index k + r
+    Tensor gn = ZerosT(t, d);
+    for (int r = 0; r < t; ++r) {
+      if (!SlotValid(k + r, k, t, fill, skip)) continue;
       for (int j = 0; j < d; ++j)
-        g.data[(long)i * d + j] =
-            y.data[(long)i * 2 * d + j] *
-            Sigmoid(y.data[(long)i * 2 * d + d + j]);
+        gn.data[(long)r * d + j] =
+            y.data[(long)r * 2 * d + j] *
+            Sigmoid(y.data[(long)r * 2 * d + d + j]);
     }
+    Tensor g;
+    g.shape = {L, d};
+    g.data.resize((long)L * d);
+    std::memcpy(g.data.data(), g_cache->data.data(), sizeof(float) * k * d);
+    std::memcpy(g.data.data() + (long)k * d, gn.data.data(),
+                sizeof(float) * t * d);
+    advance(g_cache, k, gn, d);
     // depthwise causal conv, pad (k-1) left, keep last t rows
     const Tensor& kern = get(m + "dw_conv/kernel");  // [k, 1, d]
     const Tensor& dbias = get(m + "dw_conv/bias");
@@ -489,7 +516,8 @@ Tensor ChunkNativeModel::StackStream(const std::string& prefix,
   Tensor cur = x;
   for (int i = 0; i < c.num_blocks; ++i)
     BlockStream(prefix + "/block_" + std::to_string(i), c, &cur,
-                &st->mha[i], &st->cnn[i], st->fill, skip, n_keep);
+                &st->key[i], &st->val[i], &st->cnn[i], st->fill, skip,
+                n_keep);
   st->fill += std::max(n_keep - skip, 0);
   return cur;
 }
@@ -497,7 +525,8 @@ Tensor ChunkNativeModel::StackStream(const std::string& prefix,
 // -- fused streaming step --------------------------------------------------
 
 ChunkStepResult ChunkNativeModel::Step(ChunkStreamState* st,
-                                       const float* chunk) const {
+                                       const float* chunk,
+                                       bool live) const {
   ChunkStepResult res;
   const int t = cfg_.sub_length();
   const int blank = cfg_.num_phone_classes - 1;
@@ -558,17 +587,32 @@ ChunkStepResult ChunkNativeModel::Step(ChunkStreamState* st,
     Tensor p2 = Dense(x2, get("params/decoder/project/kernel"),
                       get("params/decoder/project/bias"));
     Tensor dout = StackStream("decoder/stack", cfg_.dec, &st->dec, p2, skip2);
-    Tensor lg = Dense(dout, get("params/decoder/fully_connected/kernel"),
-                      get("params/decoder/fully_connected/bias"));
-    if (nf2 > 0)
-      res.char_ids.push_back(ArgMaxRow(lg.data.data(), vc));
-    if (wb > 0) {
-      res.provisional.clear();
-      for (int j = 0; j < wb; ++j) {
-        if (j < wb - st->dec_ring_fill) continue;   // not yet filled
-        res.provisional.push_back(
-            ArgMaxRow(lg.data.data() + (long)(1 + j) * vc, vc));
+    const Tensor& fck = get("params/decoder/fully_connected/kernel");
+    const Tensor& fcb = get("params/decoder/fully_connected/bias");
+    if (live) {
+      // char logits for the committed row AND the wb provisional rows
+      // (live lookahead text, like the JAX fused_stream_step)
+      Tensor lg = Dense(dout, fck, fcb);
+      if (nf2 > 0)
+        res.char_ids.push_back(ArgMaxRow(lg.data.data(), vc));
+      if (wb > 0) {
+        res.provisional.clear();
+        for (int j = 0; j < wb; ++j) {
+          if (j < wb - st->dec_ring_fill) continue;   // not yet filled
+          res.provisional.push_back(
+              ArgMaxRow(lg.data.data() + (long)(1 + j) * vc, vc));
+        }
       }
+    } else if (nf2 > 0) {
+      // no live text wanted: decode only the committed row — the
+      // [num_char_classes=9161]-wide FC is the single most expensive GEMM
+      // per picked phone, and provisional rows are display-only (the
+      // reference's native session has no live lookahead text at all)
+      Tensor row0;
+      row0.shape = {1, dout.dim(1)};
+      row0.data.assign(dout.data.begin(), dout.data.begin() + dout.dim(1));
+      Tensor lg = Dense(row0, fck, fcb);
+      res.char_ids.push_back(ArgMaxRow(lg.data.data(), vc));
     }
   }
   return res;

@@ -142,7 +142,8 @@ int main(int argc, char** argv) {
         sil_checks = 0;
       }
     }
-    auto res = model.Step(&state, buf.data());
+    // live text (provisional rows) is only decoded when it is shown
+    auto res = model.Step(&state, buf.data(), /*live=*/!quiet);
     if (res.n_final > 0) {
       const int t = (int)res.phone_ids.size();
       for (int f = t - res.n_final; f < t; ++f)
