@@ -98,7 +98,12 @@ struct ChunkStepResult {
 class ChunkNativeModel {
  public:
   // Loads manifest.txt (kind chunk) + weights.bin from `artifact_dir`.
-  bool Load(const std::string& dir);
+  // bf16=true re-encodes every large 2-D weight matrix as bfloat16
+  // (round-to-nearest-even) at load: the streaming step is DRAM-bound on
+  // weight traffic, so this is ~2x faster; activations/accumulation stay
+  // f32 and decoded tokens are unchanged on all parity fixtures (bf16 is
+  // also the TPU training compute dtype).
+  bool Load(const std::string& dir, bool bf16 = false);
   const ChunkNativeConfig& config() const { return cfg_; }
 
   ChunkStreamState InitState() const;
@@ -110,6 +115,9 @@ class ChunkNativeModel {
 
  private:
   const Tensor& get(const std::string& name) const;
+  // Dense through `base`/kernel + `base`/bias, dispatching on storage
+  // (bf16 if converted at load, else f32).
+  Tensor DenseByName(const Tensor& x, const std::string& base) const;
   Tensor FrontStep(ChunkStreamState* st, const float* chunk) const;
   Tensor StackStream(const std::string& prefix, const ChunkStackCfg& c,
                      StackState* st, const Tensor& x, int skip) const;
@@ -118,6 +126,7 @@ class ChunkNativeModel {
                    Tensor* g_cache, int fill, int skip, int n_keep) const;
 
   std::map<std::string, Tensor> tensors_;
+  std::map<std::string, Bf16Tensor> bf16_;
   ChunkNativeConfig cfg_;
 };
 

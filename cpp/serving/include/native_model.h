@@ -32,6 +32,15 @@ struct Tensor {
   }
 };
 
+// bf16-stored weight matrix (see native_math.h WVal): activations and
+// accumulation stay f32; only the streamed weight bytes are halved.
+struct Bf16Tensor {
+  std::vector<int> shape;
+  std::vector<unsigned short> data;
+
+  int dim(int i) const { return shape[i]; }
+};
+
 struct NativeConfig {
   int dmodel = 144;
   int reduction_factor = 4;

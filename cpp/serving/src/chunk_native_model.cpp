@@ -111,7 +111,26 @@ const Tensor& ChunkNativeModel::get(const std::string& name) const {
   return it->second;
 }
 
-bool ChunkNativeModel::Load(const std::string& dir) {
+Tensor ChunkNativeModel::DenseByName(const Tensor& x,
+                                     const std::string& base) const {
+  const Tensor& bias = get(base + "/bias");
+  const auto it = bf16_.find(base + "/kernel");
+  if (it == bf16_.end()) return Dense(x, get(base + "/kernel"), bias);
+  const Bf16Tensor& kern = it->second;
+  const int m = (int)(x.size() / x.shape.back());
+  const int k = x.shape.back();
+  const int n = kern.shape.back();
+  Tensor y;
+  y.shape = x.shape;
+  y.shape.back() = n;
+  y.data.resize((long)m * n);
+  MatMul(x.data.data(), kern.data.data(), y.data.data(), m, k, n);
+  for (int i = 0; i < m; ++i)
+    for (int j = 0; j < n; ++j) y.data[(long)i * n + j] += bias.data[j];
+  return y;
+}
+
+bool ChunkNativeModel::Load(const std::string& dir, bool bf16) {
   std::ifstream mf(dir + "/manifest.txt");
   if (!mf) return false;
   std::ifstream wf(dir + "/weights.bin", std::ios::binary);
@@ -197,6 +216,25 @@ bool ChunkNativeModel::Load(const std::string& dir) {
       t.shape = {t.shape[0] * t.shape[1]};
     }
   }
+  if (bf16) {
+    // re-encode every large 2-D matrix (GEMM weights incl. the DFT /
+    // mel bases) as bf16; small tensors, biases, norms and the 3-D/4-D
+    // conv kernels stay f32
+    for (auto it = tensors_.begin(); it != tensors_.end();) {
+      Tensor& t = it->second;
+      if (t.shape.size() == 2 && t.size() >= 16384) {
+        Bf16Tensor b;
+        b.shape = t.shape;
+        b.data.resize(t.data.size());
+        for (size_t i = 0; i < t.data.size(); ++i)
+          b.data[i] = F32ToBf16(t.data[i]);
+        bf16_.emplace(it->first, std::move(b));
+        it = tensors_.erase(it);
+      } else {
+        ++it;
+      }
+    }
+  }
   return is_chunk && cfg_.num_phone_classes > 0;
 }
 
@@ -247,8 +285,15 @@ Tensor ChunkNativeModel::FrontStep(ChunkStreamState* st,
   const int frames_all = (total + hop - 1) / hop;
   const int t = cfg_.chunk_num;
   const int first = frames_all - t;
-  const Tensor& dft = get("frontend/dft");       // [n_fft, 2*n_freq]
-  const Tensor& fb = get("frontend/freq2mel");   // [n_freq, n_mels]
+  // DFT [n_fft, 2*n_freq] / mel basis [n_freq, n_mels] — may be bf16
+  auto mm = [&](const float* xp, const char* name, float* yp, int m, int k,
+                int n) {
+    std::map<std::string, Bf16Tensor>::const_iterator it = bf16_.find(name);
+    if (it != bf16_.end())
+      MatMul(xp, it->second.data.data(), yp, m, k, n);
+    else
+      MatMul(xp, get(name).data.data(), yp, m, k, n);
+  };
   Tensor mel;
   mel.shape = {t, n_mels};
   mel.data.assign((long)t * n_mels, 0.0f);
@@ -268,7 +313,7 @@ Tensor ChunkNativeModel::FrontStep(ChunkStreamState* st,
       row[i] = (s >= 0 && s < total) ? full[s] : 0.0f;
     }
   }
-  MatMul(frames.data(), dft.data.data(), spec.data(), t, n_fft, 2 * n_freq);
+  mm(frames.data(), "frontend/dft", spec.data(), t, n_fft, 2 * n_freq);
   // plain log10 power — the causal chunk variant has NO max-norm
   // (ops/frontend.py chunk_amplitude_to_db)
   for (int f = 0; f < t; ++f) {
@@ -279,7 +324,7 @@ Tensor ChunkNativeModel::FrontStep(ChunkStreamState* st,
       dbf[j] = std::log(std::max(re * re + im * im, 1e-10f)) * inv_ln10;
     }
   }
-  MatMul(db.data(), fb.data.data(), mel.data.data(), t, n_freq, n_mels);
+  mm(db.data(), "frontend/freq2mel", mel.data.data(), t, n_freq, n_mels);
 
   // subsampling on [mel tail | new mel], freq pad [2, 2], two VALID convs
   const int sl = cfg_.sub_length();
@@ -313,7 +358,7 @@ Tensor ChunkNativeModel::FrontStep(ChunkStreamState* st,
                       2, 2);
   const int xt = x.dim(0);
   x.shape = {xt, x.dim(1) * x.dim(2)};
-  x = Dense(x, get(p + "linear/kernel"), get(p + "linear/bias"));
+  x = DenseByName(x, p + "linear");
   // keep the last sub_length frames
   Tensor out;
   out.shape = {sl, x.dim(1)};
@@ -335,9 +380,9 @@ void ChunkNativeModel::BlockStream(const std::string& prefix,
   auto ff = [&](const std::string& mod) {
     Tensor y = *x;
     LayerNormIp(&y, get(p + mod + "/ln/scale"), get(p + mod + "/ln/bias"));
-    y = Dense(y, get(p + mod + "/ffn1/kernel"), get(p + mod + "/ffn1/bias"));
+    y = DenseByName(y, p + mod + "/ffn1");
     for (auto& v : y.data) v = Swish(v);
-    y = Dense(y, get(p + mod + "/ffn2/kernel"), get(p + mod + "/ffn2/bias"));
+    y = DenseByName(y, p + mod + "/ffn2");
     for (long i = 0; i < x->size(); ++i)
       x->data[i] += c.fc_factor * y.data[i];
   };
@@ -376,9 +421,9 @@ void ChunkNativeModel::BlockStream(const std::string& prefix,
     const std::string a = p + "mhsa/mha/";
     Tensor y = *x;
     LayerNormIp(&y, get(p + "mhsa/ln/scale"), get(p + "mhsa/ln/bias"));
-    Tensor qn = Dense(y, get(a + "query/kernel"), get(a + "query/bias"));
-    Tensor kn = Dense(y, get(a + "key/kernel"), get(a + "key/bias"));
-    Tensor vn = Dense(y, get(a + "value/kernel"), get(a + "value/bias"));
+    Tensor qn = DenseByName(y, a + "query");
+    Tensor kn = DenseByName(y, a + "key");
+    Tensor vn = DenseByName(y, a + "value");
     Tensor K;
     K.shape = {L, dk};
     K.data.resize((long)L * dk);
@@ -437,7 +482,7 @@ void ChunkNativeModel::BlockStream(const std::string& prefix,
         }
       }
     }
-    Tensor o = Dense(ctx, get(a + "out/kernel"), get(a + "out/bias"));
+    Tensor o = DenseByName(ctx, a + "out");
     for (long i = 0; i < x->size(); ++i) x->data[i] += o.data[i];
   }
 
@@ -449,7 +494,7 @@ void ChunkNativeModel::BlockStream(const std::string& prefix,
     const std::string m = p + "conv_module/";
     Tensor y = *x;
     LayerNormIp(&y, get(m + "ln/scale"), get(m + "ln/bias"));
-    y = Dense(y, get(m + "pw_conv_1/kernel"), get(m + "pw_conv_1/bias"));
+    y = DenseByName(y, m + "pw_conv_1");
     // GLU + zero invalid slots (== offline causal zero pad at conv input);
     // new row r sits at window index k + r
     Tensor gn = ZerosT(t, d);
@@ -483,7 +528,7 @@ void ChunkNativeModel::BlockStream(const std::string& prefix,
       }
       for (int j = 0; j < d; ++j) zi[j] += dbias.data[j];
     }
-    Tensor y2 = Dense(z, get(m + "dw_pw/kernel"), get(m + "dw_pw/bias"));
+    Tensor y2 = DenseByName(z, m + "dw_pw");
     {
       const std::string bs = "batch_stats/" + prefix + "/conv_module/bn/";
       const Tensor& mean = get(bs + "mean");
@@ -500,7 +545,7 @@ void ChunkNativeModel::BlockStream(const std::string& prefix,
           v = Swish(v);
         }
     }
-    y2 = Dense(y2, get(m + "pw_conv_2/kernel"), get(m + "pw_conv_2/bias"));
+    y2 = DenseByName(y2, m + "pw_conv_2");
     for (long i = 0; i < x->size(); ++i) x->data[i] += y2.data[i];
   }
 
@@ -546,12 +591,10 @@ ChunkStepResult ChunkNativeModel::Step(ChunkStreamState* st,
   Tensor xin = RingFeed(&st->pk_ring, &st->pk_ring_fill, enc_out,
                         cfg_.pk.lookahead(), &skip, &n_final,
                         /*in_skip=*/t - n_final_e);
-  Tensor proj = Dense(xin, get("params/phone_picker/project/kernel"),
-                      get("params/phone_picker/project/bias"));
+  Tensor proj = DenseByName(xin, "params/phone_picker/project");
   Tensor hidden =
       StackStream("phone_picker/stack", cfg_.pk, &st->pk, proj, skip);
-  Tensor logits = Dense(hidden, get("params/phone_picker/fully_connected/kernel"),
-                        get("params/phone_picker/fully_connected/bias"));
+  Tensor logits = DenseByName(hidden, "params/phone_picker/fully_connected");
   // first t rows are this step's slots; last n_final of them are real
   res.n_final = n_final;
   const int vp = logits.dim(1);
@@ -584,15 +627,12 @@ ChunkStepResult ChunkNativeModel::Step(ChunkStreamState* st,
     int skip2 = 0, nf2 = 0;
     Tensor x2 = RingFeed(&st->dec_ring, &st->dec_ring_fill, helper_out, wb,
                          &skip2, &nf2, /*in_skip=*/1 - nf_h);
-    Tensor p2 = Dense(x2, get("params/decoder/project/kernel"),
-                      get("params/decoder/project/bias"));
+    Tensor p2 = DenseByName(x2, "params/decoder/project");
     Tensor dout = StackStream("decoder/stack", cfg_.dec, &st->dec, p2, skip2);
-    const Tensor& fck = get("params/decoder/fully_connected/kernel");
-    const Tensor& fcb = get("params/decoder/fully_connected/bias");
     if (live) {
       // char logits for the committed row AND the wb provisional rows
       // (live lookahead text, like the JAX fused_stream_step)
-      Tensor lg = Dense(dout, fck, fcb);
+      Tensor lg = DenseByName(dout, "params/decoder/fully_connected");
       if (nf2 > 0)
         res.char_ids.push_back(ArgMaxRow(lg.data.data(), vc));
       if (wb > 0) {
@@ -611,7 +651,7 @@ ChunkStepResult ChunkNativeModel::Step(ChunkStreamState* st,
       Tensor row0;
       row0.shape = {1, dout.dim(1)};
       row0.data.assign(dout.data.begin(), dout.data.begin() + dout.dim(1));
-      Tensor lg = Dense(row0, fck, fcb);
+      Tensor lg = DenseByName(row0, "params/decoder/fully_connected");
       res.char_ids.push_back(ArgMaxRow(lg.data.data(), vc));
     }
   }

@@ -3,7 +3,9 @@
 // printing live text; [final] equals the JAX ChunkStreamSession decode
 // (tests/test_native_chunk.py).
 //
-// Usage: asr_chunk <artifact_dir> <wav> [--quiet] [--vad <vad_dir>]
+// Usage: asr_chunk <artifact_dir> <wav> [--quiet] [--bf16] [--vad <vad_dir>]
+//   --bf16: store large weight matrices as bfloat16 (the streaming step is
+//           weight-bandwidth-bound -> ~2x faster; f32 accumulation)
 //   artifact_dir: export_native_chunk output (weights.bin, manifest.txt,
 //                 phones.txt / chars.txt vocab copies)
 //   --vad: native OnlineVAD artifact (export_native_vad) — gate decoding
@@ -42,16 +44,18 @@ int main(int argc, char** argv) {
     return 2;
   }
   bool quiet = false;
+  bool bf16 = false;
   std::string vad_dir;
   for (int i = 3; i < argc; ++i) {
     if (std::strcmp(argv[i], "--quiet") == 0) quiet = true;
+    if (std::strcmp(argv[i], "--bf16") == 0) bf16 = true;
     if (std::strcmp(argv[i], "--vad") == 0 && i + 1 < argc)
       vad_dir = argv[++i];
   }
   const std::string dir = argv[1];
 
   asr::ChunkNativeModel model;
-  if (!model.Load(dir)) {
+  if (!model.Load(dir, bf16)) {
     std::fprintf(stderr, "failed to load chunk artifact %s\n", dir.c_str());
     return 1;
   }

@@ -48,6 +48,30 @@ inline float FastExp(float x) {
 inline float Sigmoid(float x) { return 1.0f / (1.0f + FastExp(-x)); }
 inline float Swish(float x) { return x * Sigmoid(x); }
 
+// bfloat16 weight storage. The streaming chunk engine is DRAM-bandwidth
+// bound (every chunk streams every weight once; arithmetic intensity is
+// pinned by the tiny t=4 row count), so halving weight bytes is ~2x.
+// bf16 is also what the TPU training path computes in, so weights have
+// at most bf16-information anyway. Activations and accumulation stay
+// f32.
+inline float Bf16ToF32(uint16_t v) {
+  // memcpy bit-cast, NOT a union: gcc auto-vectorizes this form (union
+  // round-trips through memory and killed the GEMM to 0.4 GF/s)
+  const uint32_t i = (uint32_t)v << 16;
+  float f;
+  std::memcpy(&f, &i, 4);
+  return f;
+}
+
+inline uint16_t F32ToBf16(float f) {  // round-to-nearest-even
+  union {
+    float f;
+    uint32_t i;
+  } u = {f};
+  const uint32_t lsb = (u.i >> 16) & 1u;
+  return (uint16_t)((u.i + 0x7fffu + lsb) >> 16);
+}
+
 // y[m,n] = x[m,k] * w[k,n]
 //
 // Register-tiled micro-kernel: a 4-row x 32-column output tile lives in
@@ -61,32 +85,38 @@ inline float Swish(float x) { return x * Sigmoid(x); }
 // Accumulation order per output element (ascending p) is unchanged, so
 // results are bit-identical across variants. OpenMP splits the row
 // blocks when built with it (OMP_NUM_THREADS; single-thread otherwise).
-inline void MatMulRowsTail(const float* x, const float* w, float* y,
+// weight load: f32 passthrough or bf16 widen (1 shift — vectorizes)
+inline float WVal(float w) { return w; }
+inline float WVal(uint16_t w) { return Bf16ToF32(w); }
+
+template <typename W>
+inline void MatMulRowsTail(const float* x, const W* w, float* y,
                            int i_begin, int m, int k, int n) {
   for (int i = i_begin; i < m; ++i) {
     const float* xi = x + (long)i * k;
     float* yi = y + (long)i * n;
     for (int p = 0; p < k; ++p) {
       const float v = xi[p];
-      const float* wp = w + (long)p * n;
-      for (int j = 0; j < n; ++j) yi[j] += v * wp[j];
+      const W* wp = w + (long)p * n;
+      for (int j = 0; j < n; ++j) yi[j] += v * WVal(wp[j]);
     }
   }
 }
 
+template <typename W>
 inline void MatMulBlock4(const float* x0, const float* x1, const float* x2,
-                         const float* x3, const float* w, float* y0,
+                         const float* x3, const W* w, float* y0,
                          float* y1, float* y2, float* y3, int k, int n,
                          int jlo, int jhi) {
   constexpr int NT = 32;
   int j0 = jlo;
   for (; j0 + NT <= jhi; j0 += NT) {
       float a0[NT] = {0}, a1[NT] = {0}, a2[NT] = {0}, a3[NT] = {0};
-      const float* wp = w + j0;
+      const W* wp = w + j0;
       for (int p = 0; p < k; ++p, wp += n) {
         const float b0 = x0[p], b1 = x1[p], b2 = x2[p], b3 = x3[p];
         for (int j = 0; j < NT; ++j) {
-          const float b = wp[j];
+          const float b = WVal(wp[j]);
           a0[j] += b0 * b;
           a1[j] += b1 * b;
           a2[j] += b2 * b;
@@ -103,11 +133,11 @@ inline void MatMulBlock4(const float* x0, const float* x1, const float* x2,
     if (j0 < jhi) {  // n tail (< NT columns)
       const int T = jhi - j0;
       float a0[NT] = {0}, a1[NT] = {0}, a2[NT] = {0}, a3[NT] = {0};
-      const float* wp = w + j0;
+      const W* wp = w + j0;
       for (int p = 0; p < k; ++p, wp += n) {
         const float b0 = x0[p], b1 = x1[p], b2 = x2[p], b3 = x3[p];
         for (int j = 0; j < T; ++j) {
-          const float b = wp[j];
+          const float b = WVal(wp[j]);
           a0[j] += b0 * b;
           a1[j] += b1 * b;
           a2[j] += b2 * b;
@@ -123,7 +153,8 @@ inline void MatMulBlock4(const float* x0, const float* x1, const float* x2,
     }
 }
 
-inline void MatMul(const float* x, const float* w, float* y, int m, int k,
+template <typename W>
+inline void MatMul(const float* x, const W* w, float* y, int m, int k,
                    int n) {
   std::memset(y, 0, sizeof(float) * m * n);
   const int m4 = m - (m % 4);

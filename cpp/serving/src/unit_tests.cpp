@@ -1,12 +1,14 @@
 // Minimal native unit tests (no framework): tokener, greedy decoder, wav
-// round trip. Exits non-zero on failure.
+// round trip, bf16 weight math. Exits non-zero on failure.
 #include <cmath>
+#include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <fstream>
 #include <vector>
 
 #include "ctc_greedy_decoder.h"
+#include "native_math.h"
 #include "tokener.h"
 #include "wav_reader.h"
 
@@ -87,10 +89,48 @@ static void TestWavRoundTrip() {
   CHECK(maxv > 0.55f && maxv < 0.65f);  // 20000/32768
 }
 
+static void TestBf16MatMul() {
+  // bf16 weight storage (native_math.h): round-trip + GEMM accuracy.
+  using asr::math::Bf16ToF32;
+  using asr::math::F32ToBf16;
+  CHECK(Bf16ToF32(F32ToBf16(1.0f)) == 1.0f);
+  CHECK(Bf16ToF32(F32ToBf16(-2.5f)) == -2.5f);
+  // round-to-nearest-even: 1 + 2^-9 rounds back to 1, 1 + 3*2^-9 rounds up
+  CHECK(Bf16ToF32(F32ToBf16(1.0f + 1.0f / 512)) == 1.0f);
+  CHECK(Bf16ToF32(F32ToBf16(1.0f + 3.0f / 512)) == 1.0f + 1.0f / 128);
+
+  const int m = 5, k = 96, n = 80;  // covers 4-row block + tail paths
+  std::vector<float> x((size_t)m * k), wf((size_t)k * n);
+  std::vector<uint16_t> wh((size_t)k * n);
+  unsigned s = 1234;
+  auto rnd = [&]() {  // LCG in [-1, 1)
+    s = s * 1664525u + 1013904223u;
+    return (float)(int32_t)s / 2147483648.0f;
+  };
+  for (auto& v : x) v = rnd();
+  for (size_t i = 0; i < wf.size(); ++i) {
+    wf[i] = rnd();
+    wh[i] = F32ToBf16(wf[i]);
+  }
+  std::vector<float> yf((size_t)m * n), yh((size_t)m * n);
+  asr::math::MatMul(x.data(), wf.data(), yf.data(), m, k, n);
+  asr::math::MatMul(x.data(), wh.data(), yh.data(), m, k, n);
+  double num = 0, den = 0;
+  for (size_t i = 0; i < yf.size(); ++i) {
+    num += (yf[i] - yh[i]) * (yf[i] - yh[i]);
+    den += yf[i] * yf[i];
+  }
+  // bf16 has 8 mantissa bits -> per-element rel error ~2^-9; the GEMM
+  // accumulates independent roundings, keeping relative L2 error ~1e-3
+  CHECK(num / den < 1e-5);
+  CHECK(num / den > 0);  // it IS quantized (not silently f32)
+}
+
 int main() {
   TestTokener();
   TestGreedyDecoder();
   TestWavRoundTrip();
+  TestBf16MatMul();
   std::printf("all native tests passed\n");
   return 0;
 }

@@ -35,8 +35,12 @@ def cpp_build(tmp_path_factory):
     return build
 
 
-@pytest.mark.parametrize("variant", ["base", "picker_wb2", "lookahead_all"])
+@pytest.mark.parametrize("variant",
+                         ["base", "picker_wb2", "lookahead_all", "bf16"])
 def test_native_chunk_stream_parity(cpp_build, tmp_path, variant):
+    """Token-for-token C++/JAX agreement; the ``bf16`` variant runs the
+    engine with --bf16 weight storage (native_math.h) and must still
+    produce identical tokens on this fixture (logit gaps >> bf16 noise)."""
     import dataclasses
 
     cfg = tiny_cfg()
@@ -80,10 +84,11 @@ def test_native_chunk_stream_parity(cpp_build, tmp_path, variant):
     sess.feed(wav_rt)
     want = sess.flush()
 
-    out = subprocess.run(
-        [os.path.join(cpp_build, "asr_chunk"), str(artifact),
-         str(wav_path), "--quiet"],
-        capture_output=True, text=True, timeout=300)
+    cmd = [os.path.join(cpp_build, "asr_chunk"), str(artifact),
+           str(wav_path), "--quiet"]
+    if variant == "bf16":
+        cmd.append("--bf16")
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
     assert out.returncode == 0, out.stderr
 
     lines = {ln.split("]")[0][1:]: ln.split("]", 1)[1].strip()
