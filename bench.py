@@ -20,6 +20,12 @@
    one chip. The reference publishes no training throughput, so
    vs_baseline is null.
 
+6. native_offline_rtf_1core / native_chunk_stream_rtf_1core[_bf16] —
+   the standalone C++ engines (no Python at runtime) on one pinned CPU
+   core, the reference's native-deployment role. Baselines: onnxruntime
+   session RTF 0.056 (README.md:170) / ChunkConformer RTF 0.1
+   (README.md:172).
+
 Each line: {"metric", "value", "unit", "vs_baseline"}.  The flagship
 inference-RTF line is re-emitted LAST so a tail-parsing driver records it
 as the headline metric.
@@ -308,6 +314,88 @@ def bench_train_step():
     _emit("train_audio_sec_per_s", audio_sec_per_s, "audio_sec_per_s", None)
 
 
+def bench_native_engines():
+    """Standalone C++ engines on ONE pinned CPU core (no Python, no TPU):
+
+    - native_offline_rtf_1core: asr_offline, the reference's onnxruntime
+      C++ session role (baseline RTF 0.056, README.md:170).
+    - native_chunk_stream_rtf_1core[_bf16]: asr_chunk streaming (baseline
+      ChunkConformer RTF 0.1, README.md:172); bf16 halves weight traffic.
+
+    Weights are random-init at the full published sizes — engine speed is
+    value-independent. Builds/artifacts are cached under /tmp across runs.
+    """
+    import os
+    import shutil
+    import subprocess
+
+    if shutil.which("cmake") is None or shutil.which("g++") is None:
+        return
+    repo = os.path.dirname(os.path.abspath(__file__))
+    build = "/tmp/bench_cppbuild"
+    gen = ["-G", "Ninja"] if shutil.which("ninja") else []
+    subprocess.run(["cmake", "-S", os.path.join(repo, "cpp", "serving"),
+                    "-B", build] + gen, check=True, capture_output=True)
+    subprocess.run(["cmake", "--build", build, "--target", "asr_chunk",
+                    "--target", "asr_offline"], check=True,
+                   capture_output=True)
+
+    export_script = r"""
+import sys; sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp, numpy as np, os
+from tensorflowasr_tpu.utils.audio import write_wav
+if not os.path.exists("/tmp/bench_native_offline/manifest.txt"):
+    from tensorflowasr_tpu.models.conformer import ConformerCTC, ConformerConfig
+    from tensorflowasr_tpu.export.native_export import export_native
+    m = ConformerCTC(ConformerConfig(), 231, 9161)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 16000), jnp.float32),
+               jnp.ones((1, 8), jnp.int32))
+    export_native(m, v, "/tmp/bench_native_offline")
+if not os.path.exists("/tmp/bench_native_chunk/manifest.txt"):
+    from tensorflowasr_tpu.models.chunk_conformer import ChunkConformer, ChunkConformerConfig
+    from tensorflowasr_tpu.export.native_export import export_native_chunk
+    cfg = ChunkConformerConfig()
+    m = ChunkConformer(cfg, 231, 9161)
+    v = m.init(jax.random.PRNGKey(0),
+               jnp.zeros((1, cfg.chunk_samples), jnp.float32),
+               jnp.ones((1, 4), jnp.int32), 8, False,
+               method=ChunkConformer.train_forward)
+    export_native_chunk(m, v, "/tmp/bench_native_chunk")
+if not os.path.exists("/tmp/bench_utt30s.wav"):
+    t = np.arange(30 * 16000) / 16000.0
+    wav = (0.3 * np.sin(2 * np.pi * 300 * t)
+           + 0.2 * np.sin(2 * np.pi * 1100 * t)).astype(np.float32)
+    write_wav("/tmp/bench_utt30s.wav", wav, 16000)
+print("ok")
+""".format(repo=repo)
+    subprocess.run([sys.executable, "-c", export_script], check=True,
+                   capture_output=True, timeout=600)
+
+    pin = ["taskset", "-c", "0"] if shutil.which("taskset") else []
+
+    def run_rtf(binary, args, reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            subprocess.run(pin + [os.path.join(build, binary)] + args,
+                           check=True, capture_output=True, timeout=600)
+            best = min(best, time.perf_counter() - t0)
+        return best / 30.0  # 30 s of audio
+
+    rtf = run_rtf("asr_offline",
+                  ["/tmp/bench_native_offline", "/tmp/bench_utt30s.wav"])
+    _emit("native_offline_rtf_1core", rtf, "rtf", 0.056 / rtf)
+    rtf = run_rtf("asr_chunk", ["/tmp/bench_native_chunk",
+                                "/tmp/bench_utt30s.wav", "--quiet"])
+    _emit("native_chunk_stream_rtf_1core", rtf, "rtf", 0.1 / rtf)
+    rtf = run_rtf("asr_chunk", ["/tmp/bench_native_chunk",
+                                "/tmp/bench_utt30s.wav", "--quiet",
+                                "--bf16"])
+    _emit("native_chunk_stream_rtf_1core_bf16", rtf, "rtf", 0.1 / rtf)
+
+
 def main():
     import faulthandler
     import os
@@ -328,7 +416,8 @@ def main():
           f"(init {time.perf_counter() - t0:.1f}s)", file=sys.stderr,
           flush=True)
     for fn in (bench_offline_inference, bench_chunk_stream,
-               bench_stream_capacity, bench_train_step):
+               bench_stream_capacity, bench_train_step,
+               bench_native_engines):
         t0 = time.perf_counter()
         print(f"bench: {fn.__name__} ...", file=sys.stderr, flush=True)
         try:
