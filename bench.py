@@ -319,8 +319,9 @@ def bench_native_engines():
 
     - native_offline_rtf_1core: asr_offline, the reference's onnxruntime
       C++ session role (baseline RTF 0.056, README.md:170).
-    - native_chunk_stream_rtf_1core[_bf16]: asr_chunk streaming (baseline
-      ChunkConformer RTF 0.1, README.md:172); bf16 halves weight traffic.
+    - native_chunk_stream_rtf_1core[_bf16|_int8]: asr_chunk streaming
+      (baseline ChunkConformer RTF 0.1, README.md:172); bf16 halves the
+      streamed weight traffic, int8 halves it again.
 
     Weights are random-init at the full published sizes — engine speed is
     value-independent. Builds/artifacts are cached under /tmp across runs.
@@ -394,6 +395,10 @@ print("ok")
                                 "/tmp/bench_utt30s.wav", "--quiet",
                                 "--bf16"])
     _emit("native_chunk_stream_rtf_1core_bf16", rtf, "rtf", 0.1 / rtf)
+    rtf = run_rtf("asr_chunk", ["/tmp/bench_native_chunk",
+                                "/tmp/bench_utt30s.wav", "--quiet",
+                                "--int8"])
+    _emit("native_chunk_stream_rtf_1core_int8", rtf, "rtf", 0.1 / rtf)
 
 
 def main():

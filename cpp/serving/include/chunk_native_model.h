@@ -98,12 +98,16 @@ struct ChunkStepResult {
 class ChunkNativeModel {
  public:
   // Loads manifest.txt (kind chunk) + weights.bin from `artifact_dir`.
-  // bf16=true re-encodes every large 2-D weight matrix as bfloat16
-  // (round-to-nearest-even) at load: the streaming step is DRAM-bound on
-  // weight traffic, so this is ~2x faster; activations/accumulation stay
-  // f32 and decoded tokens are unchanged on all parity fixtures (bf16 is
-  // also the TPU training compute dtype).
-  bool Load(const std::string& dir, bool bf16 = false);
+  // store selects large-2-D weight storage: the streaming step is
+  // DRAM-bound on weight traffic, so kBf16 halves streamed bytes (~2x)
+  // and kInt8 halves them again (per-output-column symmetric scales,
+  // Int8Tensor). Activations/accumulation stay f32; in kInt8 mode the
+  // precision-sensitive frontend DFT/mel bases stay bf16. Decoded tokens
+  // are unchanged on all parity fixtures in both modes.
+  bool Load(const std::string& dir, WeightStore store = WeightStore::kF32);
+  bool Load(const std::string& dir, bool bf16) {
+    return Load(dir, bf16 ? WeightStore::kBf16 : WeightStore::kF32);
+  }
   const ChunkNativeConfig& config() const { return cfg_; }
 
   ChunkStreamState InitState() const;
@@ -127,6 +131,7 @@ class ChunkNativeModel {
 
   std::map<std::string, Tensor> tensors_;
   std::map<std::string, Bf16Tensor> bf16_;
+  std::map<std::string, Int8Tensor> int8_;
   ChunkNativeConfig cfg_;
 };
 

@@ -41,6 +41,23 @@ struct Bf16Tensor {
   int dim(int i) const { return shape[i]; }
 };
 
+// int8-stored weight matrix with per-output-column symmetric scales:
+// w[p,j] == data[p*n+j] * scale[j]. The matmul accumulates the raw int8
+// values in f32 and applies scale[j] (fused with the bias add) at
+// writeback, so the inner loop stays the same SIMD form as bf16 with
+// half the streamed bytes again. Engines keep precision-sensitive bases
+// (frontend DFT/mel) in bf16 even in int8 mode.
+struct Int8Tensor {
+  std::vector<int> shape;
+  std::vector<signed char> data;
+  std::vector<float> scale;  // [shape.back()]
+
+  int dim(int i) const { return shape[i]; }
+};
+
+// Weight storage mode for the standalone engines (Load argument).
+enum class WeightStore { kF32, kBf16, kInt8 };
+
 struct NativeConfig {
   int dmodel = 144;
   int reduction_factor = 4;

@@ -3,9 +3,12 @@
 // printing live text; [final] equals the JAX ChunkStreamSession decode
 // (tests/test_native_chunk.py).
 //
-// Usage: asr_chunk <artifact_dir> <wav> [--quiet] [--bf16] [--vad <vad_dir>]
+// Usage: asr_chunk <artifact_dir> <wav> [--quiet] [--bf16|--int8]
+//                  [--vad <vad_dir>]
 //   --bf16: store large weight matrices as bfloat16 (the streaming step is
 //           weight-bandwidth-bound -> ~2x faster; f32 accumulation)
+//   --int8: per-column symmetric int8 weights (frontend bases stay bf16)
+//           — halves streamed weight bytes again over --bf16
 //   artifact_dir: export_native_chunk output (weights.bin, manifest.txt,
 //                 phones.txt / chars.txt vocab copies)
 //   --vad: native OnlineVAD artifact (export_native_vad) — gate decoding
@@ -44,18 +47,19 @@ int main(int argc, char** argv) {
     return 2;
   }
   bool quiet = false;
-  bool bf16 = false;
+  asr::WeightStore store = asr::WeightStore::kF32;
   std::string vad_dir;
   for (int i = 3; i < argc; ++i) {
     if (std::strcmp(argv[i], "--quiet") == 0) quiet = true;
-    if (std::strcmp(argv[i], "--bf16") == 0) bf16 = true;
+    if (std::strcmp(argv[i], "--bf16") == 0) store = asr::WeightStore::kBf16;
+    if (std::strcmp(argv[i], "--int8") == 0) store = asr::WeightStore::kInt8;
     if (std::strcmp(argv[i], "--vad") == 0 && i + 1 < argc)
       vad_dir = argv[++i];
   }
   const std::string dir = argv[1];
 
   asr::ChunkNativeModel model;
-  if (!model.Load(dir, bf16)) {
+  if (!model.Load(dir, store)) {
     std::fprintf(stderr, "failed to load chunk artifact %s\n", dir.c_str());
     return 1;
   }

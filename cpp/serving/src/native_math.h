@@ -85,9 +85,29 @@ inline uint16_t F32ToBf16(float f) {  // round-to-nearest-even
 // Accumulation order per output element (ascending p) is unchanged, so
 // results are bit-identical across variants. OpenMP splits the row
 // blocks when built with it (OMP_NUM_THREADS; single-thread otherwise).
-// weight load: f32 passthrough or bf16 widen (1 shift — vectorizes)
+// weight load: f32 passthrough, bf16 widen (1 shift) or int8 convert
+// (sign-extend + cvt) — all three forms auto-vectorize
 inline float WVal(float w) { return w; }
 inline float WVal(uint16_t w) { return Bf16ToF32(w); }
+inline float WVal(signed char w) { return (float)w; }
+
+// Per-output-column int8 quantization: scale[j] = max_p |w[p,j]| / 127.
+inline void QuantizeInt8(const float* w, int k, int n, signed char* q,
+                         float* scale) {
+  for (int j = 0; j < n; ++j) {
+    float amax = 0.0f;
+    for (int p = 0; p < k; ++p)
+      amax = std::max(amax, std::fabs(w[(long)p * n + j]));
+    const float s = amax > 0.0f ? amax / 127.0f : 1.0f;
+    scale[j] = s;
+    const float inv = 1.0f / s;
+    for (int p = 0; p < k; ++p) {
+      const float v = w[(long)p * n + j] * inv;
+      q[(long)p * n + j] =
+          (signed char)std::min(127.0f, std::max(-127.0f, std::nearbyint(v)));
+    }
+  }
+}
 
 template <typename W>
 inline void MatMulRowsTail(const float* x, const W* w, float* y,

@@ -126,11 +126,52 @@ static void TestBf16MatMul() {
   CHECK(num / den > 0);  // it IS quantized (not silently f32)
 }
 
+static void TestInt8MatMul() {
+  // int8 weight storage: per-column quantize + raw-accumulate GEMM +
+  // column-scale dequant must track the f32 GEMM within quantization
+  // noise, and exact multiples of the column scale round-trip exactly.
+  const int m = 5, k = 96, n = 80;
+  std::vector<float> x((size_t)m * k), wf((size_t)k * n);
+  unsigned s = 99;
+  auto rnd = [&]() {
+    s = s * 1664525u + 1013904223u;
+    return (float)(int32_t)s / 2147483648.0f;
+  };
+  for (auto& v : x) v = rnd();
+  for (auto& v : wf) v = rnd();
+  std::vector<signed char> q((size_t)k * n);
+  std::vector<float> scale(n);
+  asr::math::QuantizeInt8(wf.data(), k, n, q.data(), scale.data());
+  for (int j = 0; j < n; ++j) {
+    CHECK(scale[j] > 0);
+    float amax = 0;
+    for (int p = 0; p < k; ++p)
+      amax = std::max(amax, std::fabs(wf[(size_t)p * n + j]));
+    // column max quantizes to exactly +-127
+    CHECK(std::fabs(amax - 127.0f * scale[j]) < 1e-6f * amax);
+  }
+  std::vector<float> yf((size_t)m * n), yq((size_t)m * n);
+  asr::math::MatMul(x.data(), wf.data(), yf.data(), m, k, n);
+  asr::math::MatMul(x.data(), q.data(), yq.data(), m, k, n);
+  double num = 0, den = 0;
+  for (int i = 0; i < m; ++i)
+    for (int j = 0; j < n; ++j) {
+      const float d = yq[(size_t)i * n + j] * scale[j];
+      num += (yf[(size_t)i * n + j] - d) * (yf[(size_t)i * n + j] - d);
+      den += yf[(size_t)i * n + j] * yf[(size_t)i * n + j];
+    }
+  // per-element rel error ~1/254 accumulated over k=96 independent
+  // roundings -> relative L2 well under 1e-4 on random data
+  CHECK(num / den < 1e-4);
+  CHECK(num / den > 0);  // it IS quantized
+}
+
 int main() {
   TestTokener();
   TestGreedyDecoder();
   TestWavRoundTrip();
   TestBf16MatMul();
+  TestInt8MatMul();
   std::printf("all native tests passed\n");
   return 0;
 }

@@ -36,11 +36,13 @@ def cpp_build(tmp_path_factory):
 
 
 @pytest.mark.parametrize("variant",
-                         ["base", "picker_wb2", "lookahead_all", "bf16"])
+                         ["base", "picker_wb2", "lookahead_all", "bf16",
+                          "int8"])
 def test_native_chunk_stream_parity(cpp_build, tmp_path, variant):
-    """Token-for-token C++/JAX agreement; the ``bf16`` variant runs the
-    engine with --bf16 weight storage (native_math.h) and must still
-    produce identical tokens on this fixture (logit gaps >> bf16 noise)."""
+    """Token-for-token C++/JAX agreement; the ``bf16``/``int8`` variants
+    run the engine with reduced-width weight storage (native_math.h /
+    Int8Tensor) and must still produce identical tokens on this fixture
+    (logit gaps >> quantization noise)."""
     import dataclasses
 
     cfg = tiny_cfg()
@@ -88,6 +90,8 @@ def test_native_chunk_stream_parity(cpp_build, tmp_path, variant):
            str(wav_path), "--quiet"]
     if variant == "bf16":
         cmd.append("--bf16")
+    elif variant == "int8":
+        cmd.append("--int8")
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
     assert out.returncode == 0, out.stderr
 
