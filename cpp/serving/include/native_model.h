@@ -51,6 +51,13 @@ struct Int8Tensor {
   std::vector<int> shape;
   std::vector<signed char> data;
   std::vector<float> scale;  // [shape.back()]
+  // AVX-512 VNNI fast path (filled at load only when the CPU supports
+  // vpdpbusd): weights repacked p4-interleaved — byte (p%4) of lane j of
+  // group p/4 — so one 64-byte load feeds _mm512_dpbusd_epi32 for 16
+  // output columns x 4 reduction rows; plus per-column weight sums for
+  // the unsigned-activation (+128) correction term.
+  std::vector<signed char> packed;  // [(k4/4) * n16 * 4]
+  std::vector<int> colsum;          // [shape.back()]
 
   int dim(int i) const { return shape[i]; }
 };

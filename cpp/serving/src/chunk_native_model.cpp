@@ -124,6 +124,20 @@ Tensor ChunkNativeModel::DenseByName(const Tensor& x,
     y.shape = x.shape;
     y.shape.back() = n;
     y.data.resize((long)m * n);
+#if defined(__x86_64__)
+    if (!kern.packed.empty()) {
+      // vpdpbusd path: quantize activations per row, int8xint8 dot
+      const int k4 = (k + 3) & ~3;
+      const int n16 = (n + 15) & ~15;
+      std::vector<unsigned char> u((size_t)m * k4);
+      std::vector<float> sx(m);
+      QuantizeRowsU8(x.data.data(), m, k, k4, u.data(), sx.data());
+      DenseInt8VnniKernel(u.data(), kern.packed.data(), kern.colsum.data(),
+                          kern.scale.data(), bias.data.data(), sx.data(),
+                          y.data.data(), m, k4, n, n16);
+      return y;
+    }
+#endif
     MatMul(x.data.data(), kern.data.data(), y.data.data(), m, k, n);
     // fused dequant + bias: y holds raw int8 accumulations
     for (int i = 0; i < m; ++i) {
@@ -263,6 +277,9 @@ bool ChunkNativeModel::Load(const std::string& dir, WeightStore store) {
         q.scale.resize(t.shape[1]);
         QuantizeInt8(t.data.data(), t.shape[0], t.shape[1], q.data.data(),
                      q.scale.data());
+        if (HasVnni())
+          PackInt8Vnni(q.data.data(), t.shape[0], t.shape[1], &q.packed,
+                       &q.colsum);
         int8_.emplace(it->first, std::move(q));
       }
       it = tensors_.erase(it);
@@ -529,10 +546,17 @@ void ChunkNativeModel::BlockStream(const std::string& prefix,
     LayerNormIp(&y, get(m + "ln/scale"), get(m + "ln/bias"));
     y = DenseByName(y, m + "pw_conv_1");
     // GLU + zero invalid slots (== offline causal zero pad at conv input);
-    // new row r sits at window index k + r
-    Tensor gn = ZerosT(t, d);
+    // new row r sits at window index k + r. Scratch tensors are
+    // thread_local: the per-block alloc/zero churn showed up in the
+    // profile (gn/z are the two hottest ZerosT sites).
+    thread_local Tensor gn;
+    gn.shape = {t, d};
+    gn.data.resize((long)t * d);
     for (int r = 0; r < t; ++r) {
-      if (!SlotValid(k + r, k, t, fill, skip)) continue;
+      if (!SlotValid(k + r, k, t, fill, skip)) {
+        std::memset(gn.data.data() + (long)r * d, 0, sizeof(float) * d);
+        continue;
+      }
       for (int j = 0; j < d; ++j)
         gn.data[(long)r * d + j] =
             y.data[(long)r * 2 * d + j] *
@@ -548,7 +572,9 @@ void ChunkNativeModel::BlockStream(const std::string& prefix,
     // depthwise causal conv, pad (k-1) left, keep last t rows
     const Tensor& kern = get(m + "dw_conv/kernel");  // [k, 1, d]
     const Tensor& dbias = get(m + "dw_conv/bias");
-    Tensor z = ZerosT(t, d);
+    thread_local Tensor z;
+    z.shape = {t, d};
+    z.data.assign((long)t * d, 0.0f);
     for (int i = 0; i < t; ++i) {
       float* zi = z.data.data() + (long)i * d;
       const int pos = k + i;                 // output row in full coords

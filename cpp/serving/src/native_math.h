@@ -7,8 +7,12 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 #ifdef _OPENMP
 #include <omp.h>
+#endif
+#if defined(__x86_64__)
+#include <immintrin.h>
 #endif
 
 #include "native_model.h"  // asr::Tensor
@@ -90,6 +94,95 @@ inline uint16_t F32ToBf16(float f) {  // round-to-nearest-even
 inline float WVal(float w) { return w; }
 inline float WVal(uint16_t w) { return Bf16ToF32(w); }
 inline float WVal(signed char w) { return (float)w; }
+
+// --- AVX-512 VNNI int8 GEMM fast path -----------------------------------
+//
+// y[i,j] = sx_i * scale_j * (dot_ij - 128 * colsum_j) + bias_j, where
+// dot_ij = sum_p (xq[i,p]+128) * w8[p,j] runs on vpdpbusd (64 int8 MACs
+// per instruction; the unsigned-activation shift +128 is corrected with
+// the precomputed per-column weight sums). Activations are quantized per
+// ROW at call time (symmetric, amax/127) — the engine's parity fixtures
+// still decode token-for-token (logit gaps >> ~0.5% quantization noise).
+// i32 accumulation is exact: |4-product group| <= 4*255*127 ~ 1.3e5, so
+// overflow needs k > ~6e4 (ours is <= 2048).
+
+inline bool HasVnni() {
+#if defined(__x86_64__) || defined(__i386__)
+  return __builtin_cpu_supports("avx512vnni") &&
+         __builtin_cpu_supports("avx512bw");
+#else
+  return false;
+#endif
+}
+
+// p4-interleaved repack + column sums (see Int8Tensor.packed).
+inline void PackInt8Vnni(const signed char* w, int k, int n,
+                         std::vector<signed char>* packed,
+                         std::vector<int>* colsum) {
+  const int k4 = (k + 3) & ~3;
+  const int n16 = (n + 15) & ~15;
+  packed->assign((size_t)(k4 / 4) * n16 * 4, 0);
+  colsum->assign(n, 0);
+  for (int p = 0; p < k; ++p)
+    for (int j = 0; j < n; ++j) {
+      const signed char v = w[(long)p * n + j];
+      (*packed)[(((size_t)(p / 4) * n16 + j) << 2) + (p & 3)] = v;
+      (*colsum)[j] += v;
+    }
+}
+
+// Per-row activation quantization into SHIFTED unsigned bytes
+// (u = clamp(round(x/sx), -127, 127) + 128); rows padded to k4 with 0
+// (paired weight bytes are 0 there, so padding contributes nothing).
+inline void QuantizeRowsU8(const float* x, int m, int k, int k4,
+                           unsigned char* u, float* sx) {
+  for (int i = 0; i < m; ++i) {
+    const float* xi = x + (long)i * k;
+    float amax = 0.0f;
+    for (int p = 0; p < k; ++p) amax = std::max(amax, std::fabs(xi[p]));
+    const float s = amax > 0.0f ? amax / 127.0f : 1.0f;
+    sx[i] = s;
+    const float inv = 1.0f / s;
+    unsigned char* ui = u + (size_t)i * k4;
+    for (int p = 0; p < k; ++p) {
+      const float v = std::min(127.0f, std::max(-127.0f,
+                                                std::nearbyint(xi[p] * inv)));
+      ui[p] = (unsigned char)((int)v + 128);
+    }
+    for (int p = k; p < k4; ++p) ui[p] = 0;
+  }
+}
+
+#if defined(__x86_64__)
+__attribute__((target("avx512f,avx512bw,avx512vnni"))) inline void
+DenseInt8VnniKernel(const unsigned char* u, const signed char* packed,
+                    const int* colsum, const float* scale,
+                    const float* bias, const float* sx, float* y, int m,
+                    int k4, int n, int n16) {
+  for (int i = 0; i < m; ++i) {
+    const unsigned char* ui = u + (size_t)i * k4;
+    float* yi = y + (long)i * n;
+    const float si = sx[i];
+    for (int jb = 0; jb < n16; jb += 16) {
+      __m512i acc = _mm512_setzero_si512();
+      const signed char* pb = packed + ((size_t)jb << 2);
+      for (int p4 = 0; p4 < k4; p4 += 4) {
+        const __m512i a = _mm512_set1_epi32(
+            *reinterpret_cast<const int*>(ui + p4));
+        const __m512i b = _mm512_loadu_si512(
+            pb + ((size_t)(p4 >> 2) * n16 << 2));
+        acc = _mm512_dpbusd_epi32(acc, a, b);
+      }
+      alignas(64) int lanes[16];
+      _mm512_store_si512(lanes, acc);
+      const int jhi = std::min(jb + 16, n);
+      for (int j = jb; j < jhi; ++j)
+        yi[j] = si * scale[j] * (float)(lanes[j - jb] - 128 * colsum[j]) +
+                bias[j];
+    }
+  }
+}
+#endif
 
 // Per-output-column int8 quantization: scale[j] = max_p |w[p,j]| / 127.
 inline void QuantizeInt8(const float* w, int k, int n, signed char* q,
