@@ -388,6 +388,9 @@ print("ok")
     rtf = run_rtf("asr_offline",
                   ["/tmp/bench_native_offline", "/tmp/bench_utt30s.wav"])
     _emit("native_offline_rtf_1core", rtf, "rtf", 0.056 / rtf)
+    rtf = run_rtf("asr_offline", ["/tmp/bench_native_offline",
+                                  "/tmp/bench_utt30s.wav", "--int8"])
+    _emit("native_offline_rtf_1core_int8", rtf, "rtf", 0.056 / rtf)
     rtf = run_rtf("asr_chunk", ["/tmp/bench_native_chunk",
                                 "/tmp/bench_utt30s.wav", "--quiet"])
     _emit("native_chunk_stream_rtf_1core", rtf, "rtf", 0.1 / rtf)

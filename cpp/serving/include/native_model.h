@@ -90,8 +90,12 @@ struct NativeConfig {
 
 class NativeModel {
  public:
-  // Loads manifest.txt + weights.bin from `artifact_dir`.
-  bool Load(const std::string& artifact_dir);
+  // Loads manifest.txt + weights.bin from `artifact_dir`. store selects
+  // large-2-D weight storage (see ReencodeWeights in native_math.h):
+  // kBf16 halves weight bytes, kInt8 runs the GEMMs — the offline
+  // pipeline's dominant FLOPs — on AVX-512 VNNI where available.
+  bool Load(const std::string& artifact_dir,
+            WeightStore store = WeightStore::kF32);
 
   const NativeConfig& config() const { return cfg_; }
 
@@ -122,9 +126,13 @@ class NativeModel {
   void ConformerBlockFwd(Tensor* x, const std::string& prefix,
                          int kernel_size, float fc_factor,
                          const Tensor* cross_enc) const;
+  // Dense through `base`/kernel + `base`/bias, dispatching on storage.
+  Tensor DenseByName(const Tensor& x, const std::string& base) const;
 
   NativeConfig cfg_;
   std::map<std::string, Tensor> tensors_;
+  std::map<std::string, Bf16Tensor> bf16_;
+  std::map<std::string, Int8Tensor> int8_;
 };
 
 }  // namespace asr

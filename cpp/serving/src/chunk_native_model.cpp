@@ -114,53 +114,14 @@ const Tensor& ChunkNativeModel::get(const std::string& name) const {
 Tensor ChunkNativeModel::DenseByName(const Tensor& x,
                                      const std::string& base) const {
   const Tensor& bias = get(base + "/bias");
-  const auto i8 = int8_.find(base + "/kernel");
-  if (i8 != int8_.end()) {
-    const Int8Tensor& kern = i8->second;
-    const int m = (int)(x.size() / x.shape.back());
-    const int k = x.shape.back();
-    const int n = kern.shape.back();
-    Tensor y;
-    y.shape = x.shape;
-    y.shape.back() = n;
-    y.data.resize((long)m * n);
-#if defined(__x86_64__)
-    if (!kern.packed.empty()) {
-      // vpdpbusd path: quantize activations per row, int8xint8 dot
-      const int k4 = (k + 3) & ~3;
-      const int n16 = (n + 15) & ~15;
-      std::vector<unsigned char> u((size_t)m * k4);
-      std::vector<float> sx(m);
-      QuantizeRowsU8(x.data.data(), m, k, k4, u.data(), sx.data());
-      DenseInt8VnniKernel(u.data(), kern.packed.data(), kern.colsum.data(),
-                          kern.scale.data(), bias.data.data(), sx.data(),
-                          y.data.data(), m, k4, n, n16);
-      return y;
-    }
-#endif
-    MatMul(x.data.data(), kern.data.data(), y.data.data(), m, k, n);
-    // fused dequant + bias: y holds raw int8 accumulations
-    for (int i = 0; i < m; ++i) {
-      float* yi = y.data.data() + (long)i * n;
-      for (int j = 0; j < n; ++j)
-        yi[j] = yi[j] * kern.scale[j] + bias.data[j];
-    }
-    return y;
-  }
-  const auto it = bf16_.find(base + "/kernel");
-  if (it == bf16_.end()) return Dense(x, get(base + "/kernel"), bias);
-  const Bf16Tensor& kern = it->second;
-  const int m = (int)(x.size() / x.shape.back());
-  const int k = x.shape.back();
-  const int n = kern.shape.back();
-  Tensor y;
-  y.shape = x.shape;
-  y.shape.back() = n;
-  y.data.resize((long)m * n);
-  MatMul(x.data.data(), kern.data.data(), y.data.data(), m, k, n);
-  for (int i = 0; i < m; ++i)
-    for (int j = 0; j < n; ++j) y.data[(long)i * n + j] += bias.data[j];
-  return y;
+  const std::string kname = base + "/kernel";
+  const auto i8 = int8_.find(kname);
+  if (i8 != int8_.end())
+    return DenseAny(x, nullptr, nullptr, &i8->second, bias);
+  const auto it = bf16_.find(kname);
+  if (it != bf16_.end()) return DenseAny(x, nullptr, &it->second, nullptr,
+                                         bias);
+  return Dense(x, get(kname), bias);
 }
 
 bool ChunkNativeModel::Load(const std::string& dir, WeightStore store) {
@@ -249,42 +210,7 @@ bool ChunkNativeModel::Load(const std::string& dir, WeightStore store) {
       t.shape = {t.shape[0] * t.shape[1]};
     }
   }
-  if (store != WeightStore::kF32) {
-    // re-encode every large 2-D matrix (GEMM weights incl. the DFT /
-    // mel bases) at reduced width; small tensors, biases, norms and the
-    // 3-D/4-D conv kernels stay f32. In kInt8 mode the frontend DFT /
-    // mel bases stay bf16 (log-power compresses their dynamic range, so
-    // 8-bit mantissas are safe but 8-bit integers visibly move quiet
-    // bins), and everything else gets per-column int8.
-    for (auto it = tensors_.begin(); it != tensors_.end();) {
-      Tensor& t = it->second;
-      if (!(t.shape.size() == 2 && t.size() >= 16384)) {
-        ++it;
-        continue;
-      }
-      const bool frontend = it->first.rfind("frontend/", 0) == 0;
-      if (store == WeightStore::kBf16 || frontend) {
-        Bf16Tensor b;
-        b.shape = t.shape;
-        b.data.resize(t.data.size());
-        for (size_t i = 0; i < t.data.size(); ++i)
-          b.data[i] = F32ToBf16(t.data[i]);
-        bf16_.emplace(it->first, std::move(b));
-      } else {
-        Int8Tensor q;
-        q.shape = t.shape;
-        q.data.resize(t.data.size());
-        q.scale.resize(t.shape[1]);
-        QuantizeInt8(t.data.data(), t.shape[0], t.shape[1], q.data.data(),
-                     q.scale.data());
-        if (HasVnni())
-          PackInt8Vnni(q.data.data(), t.shape[0], t.shape[1], &q.packed,
-                       &q.colsum);
-        int8_.emplace(it->first, std::move(q));
-      }
-      it = tensors_.erase(it);
-    }
-  }
+  ReencodeWeights(&tensors_, &bf16_, &int8_, store);
   return is_chunk && cfg_.num_phone_classes > 0;
 }
 

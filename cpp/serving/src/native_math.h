@@ -7,6 +7,8 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <map>
+#include <string>
 #include <vector>
 #ifdef _OPENMP
 #include <omp.h>
@@ -356,6 +358,50 @@ inline void MatMul(const float* x, const W* w, float* y, int m, int k,
   MatMulRowsTail(x, w, y, m4, m, k, n);
 }
 
+// Dense through one of the three weight storages (exactly one of
+// kf/kh/kq non-null). Shared by both standalone engines' DenseByName.
+inline Tensor DenseAny(const Tensor& x, const Tensor* kf,
+                       const Bf16Tensor* kh, const Int8Tensor* kq,
+                       const Tensor& bias) {
+  const int m = (int)(x.size() / x.shape.back());
+  const int k = x.shape.back();
+  const int n = kf ? kf->shape.back()
+                   : (kh ? kh->shape.back() : kq->shape.back());
+  Tensor y;
+  y.shape = x.shape;
+  y.shape.back() = n;
+  y.data.resize((long)m * n);
+  if (kq) {
+#if defined(__x86_64__)
+    if (!kq->packed.empty()) {
+      const int k4 = (k + 3) & ~3;
+      const int n16 = (n + 15) & ~15;
+      std::vector<unsigned char> u((size_t)m * k4);
+      std::vector<float> sx(m);
+      QuantizeRowsU8(x.data.data(), m, k, k4, u.data(), sx.data());
+      DenseInt8VnniKernel(u.data(), kq->packed.data(), kq->colsum.data(),
+                          kq->scale.data(), bias.data.data(), sx.data(),
+                          y.data.data(), m, k4, n, n16);
+      return y;
+    }
+#endif
+    MatMul(x.data.data(), kq->data.data(), y.data.data(), m, k, n);
+    for (int i = 0; i < m; ++i) {
+      float* yi = y.data.data() + (long)i * n;
+      for (int j = 0; j < n; ++j)
+        yi[j] = yi[j] * kq->scale[j] + bias.data[j];
+    }
+    return y;
+  }
+  if (kh)
+    MatMul(x.data.data(), kh->data.data(), y.data.data(), m, k, n);
+  else
+    MatMul(x.data.data(), kf->data.data(), y.data.data(), m, k, n);
+  for (int i = 0; i < m; ++i)
+    for (int j = 0; j < n; ++j) y.data[(long)i * n + j] += bias.data[j];
+  return y;
+}
+
 inline Tensor Dense(const Tensor& x, const Tensor& kernel,
                     const Tensor& bias) {
   const int m = x.size() / x.shape.back();
@@ -401,6 +447,49 @@ inline void SoftmaxRow(float* row, int n) {
   }
   const float inv = (float)(1.0 / sum);
   for (int i = 0; i < n; ++i) row[i] *= inv;
+}
+
+// Re-encode every large 2-D weight matrix at reduced width (shared by
+// both standalone engines' Load): small tensors, biases, norms and the
+// 3-D/4-D conv kernels stay f32. In kInt8 mode the frontend DFT / mel
+// bases stay bf16 (log-power is safe at 8 mantissa bits but 8-bit
+// integers visibly move quiet bins); everything else gets per-column
+// int8, VNNI-packed when the CPU supports vpdpbusd.
+inline void ReencodeWeights(std::map<std::string, Tensor>* tensors,
+                            std::map<std::string, Bf16Tensor>* bf16,
+                            std::map<std::string, Int8Tensor>* int8,
+                            WeightStore store) {
+  if (store == WeightStore::kF32) return;
+  for (auto it = tensors->begin(); it != tensors->end();) {
+    Tensor& t = it->second;
+    // embeddings are row-GATHERED by id (not GEMM'd) via get() — keep f32
+    if (!(t.shape.size() == 2 && t.size() >= 16384) ||
+        it->first.find("embedding") != std::string::npos) {
+      ++it;
+      continue;
+    }
+    const bool frontend = it->first.rfind("frontend/", 0) == 0;
+    if (store == WeightStore::kBf16 || frontend) {
+      Bf16Tensor b;
+      b.shape = t.shape;
+      b.data.resize(t.data.size());
+      for (size_t i = 0; i < t.data.size(); ++i)
+        b.data[i] = F32ToBf16(t.data[i]);
+      bf16->emplace(it->first, std::move(b));
+    } else {
+      Int8Tensor q;
+      q.shape = t.shape;
+      q.data.resize(t.data.size());
+      q.scale.resize(t.shape[1]);
+      QuantizeInt8(t.data.data(), t.shape[0], t.shape[1], q.data.data(),
+                   q.scale.data());
+      if (HasVnni())
+        PackInt8Vnni(q.data.data(), t.shape[0], t.shape[1], &q.packed,
+                     &q.colsum);
+      int8->emplace(it->first, std::move(q));
+    }
+    it = tensors->erase(it);
+  }
 }
 
 // Keras/TF 'SAME' padding amounts.

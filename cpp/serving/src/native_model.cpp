@@ -23,7 +23,20 @@ const Tensor& NativeModel::get(const std::string& name) const {
   return it->second;
 }
 
-bool NativeModel::Load(const std::string& dir) {
+Tensor NativeModel::DenseByName(const Tensor& x,
+                                const std::string& base) const {
+  const Tensor& bias = get(base + "/bias");
+  const std::string kname = base + "/kernel";
+  const auto i8 = int8_.find(kname);
+  if (i8 != int8_.end())
+    return DenseAny(x, nullptr, nullptr, &i8->second, bias);
+  const auto it = bf16_.find(kname);
+  if (it != bf16_.end()) return DenseAny(x, nullptr, &it->second, nullptr,
+                                         bias);
+  return Dense(x, get(kname), bias);
+}
+
+bool NativeModel::Load(const std::string& dir, WeightStore store) {
   std::ifstream mf(dir + "/manifest.txt");
   if (!mf) return false;
   std::ifstream wf(dir + "/weights.bin", std::ios::binary);
@@ -87,6 +100,26 @@ bool NativeModel::Load(const std::string& dir) {
       tensors_.emplace(std::move(name), std::move(t));
     }
   }
+  // Flatten MHA projection kernels/biases to 2-D/1-D once ([d,h,hs] ->
+  // [d,h*hs]; out kernel [h,hs,d] -> [h*hs,d]; bias [h,hs] -> [h*hs]) so
+  // the hot path — and the quantizer — see plain Dense weights instead
+  // of copying+reshaping per call.
+  for (auto& kv : tensors_) {
+    const std::string& n = kv.first;
+    if (n.find("/mha/") == std::string::npos) continue;
+    Tensor& t = kv.second;
+    const bool kernel =
+        n.size() > 7 && n.compare(n.size() - 7, 7, "/kernel") == 0;
+    if (kernel && t.shape.size() == 3) {
+      if (n.find("/out/kernel") != std::string::npos)
+        t.shape = {t.shape[0] * t.shape[1], t.shape[2]};
+      else
+        t.shape = {t.shape[0], t.shape[1] * t.shape[2]};
+    } else if (!kernel && t.shape.size() == 2) {
+      t.shape = {t.shape[0] * t.shape[1]};
+    }
+  }
+  ReencodeWeights(&tensors_, &bf16_, &int8_, store);
   return cfg_.num_phone_classes > 0;
 }
 
@@ -101,8 +134,18 @@ Tensor NativeModel::LogMel(const std::vector<float>& wav) const {
   int lo, hi;
   SamePad(t, n_fft, hop, &lo, &hi);
 
-  // frame -> windowed DFT matmul (ops/frontend.py power_spectrogram)
-  const Tensor& dft = get("frontend/dft");       // [n_fft, 2*n_freq]
+  // frame -> windowed DFT matmul (ops/frontend.py power_spectrogram).
+  // DFT [n_fft, 2*n_freq] / mel basis [n_freq, n_mels] may be stored
+  // bf16 in quantized modes (ReencodeWeights keeps frontend bases out
+  // of int8).
+  auto mm = [&](const float* xp, const char* name, float* yp, int m,
+                int k, int n) {
+    std::map<std::string, Bf16Tensor>::const_iterator it = bf16_.find(name);
+    if (it != bf16_.end())
+      MatMul(xp, it->second.data.data(), yp, m, k, n);
+    else
+      MatMul(xp, get(name).data.data(), yp, m, k, n);
+  };
   // materialize ALL frames and run ONE blocked matmul (a per-frame m=1
   // MatMul defeats the register blocking — measured 3x slower)
   std::vector<float> all_frames((long)frames * n_fft, 0.0f);
@@ -115,8 +158,8 @@ Tensor NativeModel::LogMel(const std::vector<float>& wav) const {
                   wav.data() + s0, (size_t)(s1 - s0) * sizeof(float));
   }
   std::vector<float> spec((long)frames * 2 * n_freq);
-  MatMul(all_frames.data(), dft.data.data(), spec.data(), frames, n_fft,
-         2 * n_freq);
+  mm(all_frames.data(), "frontend/dft", spec.data(), frames, n_fft,
+     2 * n_freq);
   Tensor power;
   power.shape = {frames, n_freq};
   power.data.resize((long)frames * n_freq);
@@ -139,12 +182,11 @@ Tensor NativeModel::LogMel(const std::vector<float>& wav) const {
 
   if (cfg_.mel_layer_type == "Spectrogram") return power;
 
-  const Tensor& fb = get("frontend/freq2mel");   // [n_freq, n_mels]
-  Tensor mel;
+  Tensor mel;                                    // fb [n_freq, n_mels]
   mel.shape = {frames, cfg_.n_mels};
   mel.data.resize((long)frames * cfg_.n_mels);
-  MatMul(power.data.data(), fb.data.data(), mel.data.data(), frames,
-         n_freq, cfg_.n_mels);
+  mm(power.data.data(), "frontend/freq2mel", mel.data.data(), frames,
+     n_freq, cfg_.n_mels);
   return mel;
 }
 
@@ -203,7 +245,7 @@ Tensor NativeModel::ConvSubsampling(const Tensor& mel) const {
                      2, 2);
   const int t = x.dim(0);
   x.shape = {t, x.dim(1) * x.dim(2)};
-  return Dense(x, get(p + "linear/kernel"), get(p + "linear/bias"));
+  return DenseByName(x, p + "linear");
 }
 
 // -- conformer block --------------------------------------------------------
@@ -218,9 +260,9 @@ void NativeModel::ConformerBlockFwd(Tensor* x, const std::string& prefix,
   auto ff = [&](const std::string& mod) {
     Tensor y = *x;
     LayerNormIp(&y, get(p + mod + "/ln/scale"), get(p + mod + "/ln/bias"));
-    y = Dense(y, get(p + mod + "/ffn1/kernel"), get(p + mod + "/ffn1/bias"));
+    y = DenseByName(y, p + mod + "/ffn1");
     for (auto& v : y.data) v = Swish(v);
-    y = Dense(y, get(p + mod + "/ffn2/kernel"), get(p + mod + "/ffn2/bias"));
+    y = DenseByName(y, p + mod + "/ffn2");
     for (long i = 0; i < x->size(); ++i)
       x->data[i] += fc_factor * y.data[i];
   };
@@ -248,17 +290,9 @@ void NativeModel::ConformerBlockFwd(Tensor* x, const std::string& prefix,
     const int tk = kv.size() / kv.shape.back();
     const int h = cfg_.num_heads, hs = cfg_.head_size;
     const std::string a = p + mod + "/mha/";
-    // q/k/v projections: kernel [d, h, hs] == dense to h*hs
+    // q/k/v projections (kernels pre-flattened at load to [d, h*hs])
     auto proj = [&](const Tensor& inp, const char* name) {
-      Tensor kern = get(a + name + "/kernel");
-      Tensor bias = get(a + name + "/bias");
-      Tensor k2;
-      k2.shape = {kern.dim(0), kern.dim(1) * kern.dim(2)};
-      k2.data = kern.data;
-      Tensor b2;
-      b2.shape = {bias.dim(0) * bias.dim(1)};
-      b2.data = bias.data;
-      return Dense(inp, k2, b2);                 // [*, h*hs]
+      return DenseByName(inp, a + name);         // [*, h*hs]
     };
     Tensor q = proj(y, "query"), k = proj(kv, "key"), v = proj(kv, "value");
     const float scale = 1.0f / std::sqrt((float)hs);
@@ -293,12 +327,8 @@ void NativeModel::ConformerBlockFwd(Tensor* x, const std::string& prefix,
         std::memcpy(ctx.data.data() + (long)i * h * hs + head * hs,
                     ctxh.data() + (long)i * hs, (size_t)hs * sizeof(float));
     }
-    // out projection: kernel [h, hs, d]
-    Tensor ok = get(a + "out/kernel");
-    Tensor ok2;
-    ok2.shape = {ok.dim(0) * ok.dim(1), ok.dim(2)};
-    ok2.data = ok.data;
-    Tensor o = Dense(ctx, ok2, get(a + "out/bias"));
+    // out projection (kernel pre-flattened at load to [h*hs, d])
+    Tensor o = DenseByName(ctx, a + "out");
     for (long i = 0; i < x->size(); ++i) x->data[i] += o.data[i];
   }
 
@@ -307,7 +337,7 @@ void NativeModel::ConformerBlockFwd(Tensor* x, const std::string& prefix,
     const std::string m = p + "conv_module/";
     Tensor y = *x;
     LayerNormIp(&y, get(m + "ln/scale"), get(m + "ln/bias"));
-    y = Dense(y, get(m + "pw_conv_1/kernel"), get(m + "pw_conv_1/bias"));
+    y = DenseByName(y, m + "pw_conv_1");
     // GLU: first half * sigmoid(second half)
     {
       Tensor g;
@@ -344,7 +374,7 @@ void NativeModel::ConformerBlockFwd(Tensor* x, const std::string& prefix,
       }
       y = std::move(z);
     }
-    y = Dense(y, get(m + "dw_pw/kernel"), get(m + "dw_pw/bias"));
+    y = DenseByName(y, m + "dw_pw");
     // BatchNorm (inference: running stats)
     {
       const std::string bs = "batch_stats/" + prefix + "/conv_module/bn/";
@@ -362,7 +392,7 @@ void NativeModel::ConformerBlockFwd(Tensor* x, const std::string& prefix,
           v = Swish(v);
         }
     }
-    y = Dense(y, get(m + "pw_conv_2/kernel"), get(m + "pw_conv_2/bias"));
+    y = DenseByName(y, m + "pw_conv_2");
     for (long i = 0; i < x->size(); ++i) x->data[i] += y.data[i];
   }
 
@@ -384,13 +414,12 @@ Tensor NativeModel::Encode(const std::vector<float>& wav) const {
 
 Tensor NativeModel::CtcLogits(const Tensor& enc) const {
   const std::string p = "params/ctc_decoder/";
-  Tensor x = Dense(enc, get(p + "project/kernel"), get(p + "project/bias"));
+  Tensor x = DenseByName(enc, p + "project");
   for (int i = 0; i < cfg_.ctcdecoder_num_blocks; ++i)
     ConformerBlockFwd(
         &x, "ctc_decoder/decoder_conformer_block_" + std::to_string(i),
         cfg_.ctcdecoder_kernel_size, cfg_.ctcdecoder_fc_factor, nullptr);
-  return Dense(x, get(p + "fully_connected/kernel"),
-               get(p + "fully_connected/bias"));
+  return DenseByName(x, p + "fully_connected");
 }
 
 std::vector<int> NativeModel::GreedyPhones(const Tensor& logits) const {
@@ -429,8 +458,7 @@ std::vector<int> NativeModel::Translate(const std::vector<int>& phone_ids,
     ConformerBlockFwd(
         &x, "translator/decoder_conformer_block_" + std::to_string(i),
         cfg_.translator_kernel_size, cfg_.translator_fc_factor, &enc);
-  Tensor logits = Dense(x, get(p + "fully_connected/kernel"),
-                        get(p + "fully_connected/bias"));
+  Tensor logits = DenseByName(x, p + "fully_connected");
   const int v = logits.dim(1);
   std::vector<int> out;
   for (int i = 0; i < logits.dim(0); ++i) {

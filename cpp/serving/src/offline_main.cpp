@@ -29,19 +29,26 @@ int main(int argc, char** argv) {
   if (argc < 3) {
     std::fprintf(stderr,
                  "usage: %s <artifact_dir> <wav> [--dump <logits.bin>]"
-                 " [--vad <vad_artifact_dir>]\n",
+                 " [--vad <vad_artifact_dir>] [--bf16|--int8]\n",
                  argv[0]);
     return 2;
   }
   const std::string dir = argv[1];
   std::string dump_path, vad_dir;
-  for (int i = 3; i + 1 < argc; ++i) {
-    if (std::strcmp(argv[i], "--dump") == 0) dump_path = argv[i + 1];
-    if (std::strcmp(argv[i], "--vad") == 0) vad_dir = argv[i + 1];
+  asr::WeightStore store = asr::WeightStore::kF32;
+  for (int i = 3; i < argc; ++i) {
+    if (std::strcmp(argv[i], "--dump") == 0 && i + 1 < argc)
+      dump_path = argv[i + 1];
+    if (std::strcmp(argv[i], "--vad") == 0 && i + 1 < argc)
+      vad_dir = argv[i + 1];
+    if (std::strcmp(argv[i], "--bf16") == 0)
+      store = asr::WeightStore::kBf16;
+    if (std::strcmp(argv[i], "--int8") == 0)
+      store = asr::WeightStore::kInt8;
   }
 
   asr::NativeModel model;
-  if (!model.Load(dir)) {
+  if (!model.Load(dir, store)) {
     std::fprintf(stderr, "failed to load artifact %s\n", dir.c_str());
     return 1;
   }

@@ -106,3 +106,49 @@ def test_native_engine_matches_jax(cpp_build, tmp_path, scan_layers):
     assert [int(i) for i in lines["char_ids"]] == [int(i) for i in
                                                    char_ids]
     assert "text" in lines
+
+
+def test_native_engine_quantized_token_parity(cpp_build, tmp_path):
+    """--bf16/--int8 weight storage must decode the same tokens as f32.
+
+    Uses a config big enough that kernels actually cross the re-encode
+    size threshold (ReencodeWeights quantizes only >=16384-elem 2-D
+    matrices), unlike the tiny parity fixture above."""
+    from tensorflowasr_tpu.export.native_export import export_native
+    from tensorflowasr_tpu.models.conformer import (
+        ConformerCTC, ConformerConfig)
+    from tensorflowasr_tpu.utils.audio import write_wav
+
+    sr = 16000
+    cfg = ConformerConfig(dmodel=64, num_blocks=2, head_size=16,
+                          num_heads=4, kernel_size=8, dropout=0.0,
+                          ctcdecoder_dropout=0.0, translator_dropout=0.0,
+                          ctcdecoder_num_blocks=1, translator_num_blocks=1,
+                          n_mels=40)
+    model = ConformerCTC(cfg, 8, 12)
+    variables = model.init(jax.random.PRNGKey(5),
+                           jnp.zeros((1, 8000), jnp.float32),
+                           jnp.ones((1, 4), jnp.int32))
+    outdir = str(tmp_path / "artifact")
+    export_native(model, variables, outdir)
+
+    rng = np.random.default_rng(7)
+    t = np.arange(sr)
+    wav = (0.4 * np.sin(2 * np.pi * 300 * t / sr) +
+           0.1 * rng.standard_normal(sr)).astype(np.float32)
+    wav_path = str(tmp_path / "x.wav")
+    write_wav(wav_path, wav, sr)
+
+    def run(extra):
+        out = subprocess.run(
+            [os.path.join(cpp_build, "asr_offline"), outdir, wav_path]
+            + extra, capture_output=True, text=True)
+        assert out.returncode == 0, out.stderr
+        return {l.split(":")[0]: l.split(":", 1)[1]
+                for l in out.stdout.splitlines() if ":" in l}
+
+    want = run([])
+    for flag in ("--bf16", "--int8"):
+        got = run([flag])
+        assert got["phone_ids"] == want["phone_ids"], flag
+        assert got["char_ids"] == want["char_ids"], flag
