@@ -6,6 +6,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <map>
 #include <string>
@@ -91,11 +92,11 @@ inline uint16_t F32ToBf16(float f) {  // round-to-nearest-even
 // Accumulation order per output element (ascending p) is unchanged, so
 // results are bit-identical across variants. OpenMP splits the row
 // blocks when built with it (OMP_NUM_THREADS; single-thread otherwise).
-// weight load: f32 passthrough, bf16 widen (1 shift) or int8 convert
-// (sign-extend + cvt) — all three forms auto-vectorize
+// weight load: f32 passthrough or bf16 widen (1 shift) — both forms
+// auto-vectorize. int8 never reaches MatMul: it has its own integer
+// kernels (DenseInt8VnniKernel / DenseInt8ScalarKernel below).
 inline float WVal(float w) { return w; }
 inline float WVal(uint16_t w) { return Bf16ToF32(w); }
-inline float WVal(signed char w) { return (float)w; }
 
 // --- AVX-512 VNNI int8 GEMM fast path -----------------------------------
 //
@@ -117,20 +118,27 @@ inline bool HasVnni() {
 #endif
 }
 
-// p4-interleaved repack + column sums (see Int8Tensor.packed).
+// Per-column sums of the quantized weights — the unsigned-activation
+// (+128) correction term. Needed by BOTH int8 kernels (VNNI and the
+// scalar fallback compute the same quantized math, so --int8 decodes
+// identically on every host CPU).
+inline void ColSumInt8(const signed char* w, int k, int n,
+                       std::vector<int>* colsum) {
+  colsum->assign(n, 0);
+  for (int p = 0; p < k; ++p)
+    for (int j = 0; j < n; ++j) (*colsum)[j] += w[(long)p * n + j];
+}
+
+// p4-interleaved repack (see Int8Tensor.packed).
 inline void PackInt8Vnni(const signed char* w, int k, int n,
-                         std::vector<signed char>* packed,
-                         std::vector<int>* colsum) {
+                         std::vector<signed char>* packed) {
   const int k4 = (k + 3) & ~3;
   const int n16 = (n + 15) & ~15;
   packed->assign((size_t)(k4 / 4) * n16 * 4, 0);
-  colsum->assign(n, 0);
   for (int p = 0; p < k; ++p)
-    for (int j = 0; j < n; ++j) {
-      const signed char v = w[(long)p * n + j];
-      (*packed)[(((size_t)(p / 4) * n16 + j) << 2) + (p & 3)] = v;
-      (*colsum)[j] += v;
-    }
+    for (int j = 0; j < n; ++j)
+      (*packed)[(((size_t)(p / 4) * n16 + j) << 2) + (p & 3)] =
+          w[(long)p * n + j];
 }
 
 // Per-row activation quantization into SHIFTED unsigned bytes
@@ -155,6 +163,14 @@ inline void QuantizeRowsU8(const float* x, int m, int k, int k4,
   }
 }
 
+// 4 shifted activation bytes as one i32 lane value, without type-punning
+// the byte buffer (strict aliasing): memcpy folds to a single 32-bit load.
+inline int ActQuad(const unsigned char* p) {
+  int32_t v;
+  std::memcpy(&v, p, 4);
+  return v;
+}
+
 #if defined(__x86_64__)
 // Row-blocked x4: one 64-byte packed-weight load feeds FOUR vpdpbusd
 // (one per activation row), so the weight stream — the dominant traffic
@@ -177,18 +193,10 @@ DenseInt8VnniKernel(const unsigned char* u, const signed char* packed,
       for (int p4 = 0; p4 < k4; p4 += 4) {
         const __m512i b = _mm512_loadu_si512(
             pb + ((size_t)(p4 >> 2) * n16 << 2));
-        a0 = _mm512_dpbusd_epi32(
-            a0, _mm512_set1_epi32(*reinterpret_cast<const int*>(u0 + p4)),
-            b);
-        a1 = _mm512_dpbusd_epi32(
-            a1, _mm512_set1_epi32(*reinterpret_cast<const int*>(u1 + p4)),
-            b);
-        a2 = _mm512_dpbusd_epi32(
-            a2, _mm512_set1_epi32(*reinterpret_cast<const int*>(u2 + p4)),
-            b);
-        a3 = _mm512_dpbusd_epi32(
-            a3, _mm512_set1_epi32(*reinterpret_cast<const int*>(u3 + p4)),
-            b);
+        a0 = _mm512_dpbusd_epi32(a0, _mm512_set1_epi32(ActQuad(u0 + p4)), b);
+        a1 = _mm512_dpbusd_epi32(a1, _mm512_set1_epi32(ActQuad(u1 + p4)), b);
+        a2 = _mm512_dpbusd_epi32(a2, _mm512_set1_epi32(ActQuad(u2 + p4)), b);
+        a3 = _mm512_dpbusd_epi32(a3, _mm512_set1_epi32(ActQuad(u3 + p4)), b);
       }
       alignas(64) int l0[16], l1[16], l2[16], l3[16];
       _mm512_store_si512(l0, a0);
@@ -197,16 +205,16 @@ DenseInt8VnniKernel(const unsigned char* u, const signed char* packed,
       _mm512_store_si512(l3, a3);
       const int jhi = std::min(jb + 16, n);
       for (int j = jb; j < jhi; ++j) {
-        const float c = (float)(128 * colsum[j]);
+        const int c = 128 * colsum[j];  // int subtract: exact
         const float sc = scale[j];
         const float bj = bias[j];
-        y[(long)i * n + j] = sx[i] * sc * ((float)l0[j - jb] - c) + bj;
+        y[(long)i * n + j] = sx[i] * sc * (float)(l0[j - jb] - c) + bj;
         y[(long)(i + 1) * n + j] =
-            sx[i + 1] * sc * ((float)l1[j - jb] - c) + bj;
+            sx[i + 1] * sc * (float)(l1[j - jb] - c) + bj;
         y[(long)(i + 2) * n + j] =
-            sx[i + 2] * sc * ((float)l2[j - jb] - c) + bj;
+            sx[i + 2] * sc * (float)(l2[j - jb] - c) + bj;
         y[(long)(i + 3) * n + j] =
-            sx[i + 3] * sc * ((float)l3[j - jb] - c) + bj;
+            sx[i + 3] * sc * (float)(l3[j - jb] - c) + bj;
       }
     }
   }
@@ -218,8 +226,7 @@ DenseInt8VnniKernel(const unsigned char* u, const signed char* packed,
       __m512i acc = _mm512_setzero_si512();
       const signed char* pb = packed + ((size_t)jb << 2);
       for (int p4 = 0; p4 < k4; p4 += 4) {
-        const __m512i a = _mm512_set1_epi32(
-            *reinterpret_cast<const int*>(ui + p4));
+        const __m512i a = _mm512_set1_epi32(ActQuad(ui + p4));
         const __m512i b = _mm512_loadu_si512(
             pb + ((size_t)(p4 >> 2) * n16 << 2));
         acc = _mm512_dpbusd_epi32(acc, a, b);
@@ -234,6 +241,35 @@ DenseInt8VnniKernel(const unsigned char* u, const signed char* packed,
   }
 }
 #endif
+
+// Portable int8 kernel computing the EXACT same quantized math as the
+// VNNI path — unsigned-shifted activation bytes, exact int32 dot,
+// identical float writeback expression — so --int8 tokens are
+// bit-identical across host CPUs (the int32 accumulation is exact, and
+// the float ops below mirror DenseInt8VnniKernel's order). The int16
+// partial products (<=255*127) let the compiler use widening-multiply
+// SIMD under -O3 even without VNNI.
+inline void DenseInt8ScalarKernel(const unsigned char* u,
+                                  const signed char* q, const int* colsum,
+                                  const float* scale, const float* bias,
+                                  const float* sx, float* y, int m, int k,
+                                  int k4, int n) {
+  static thread_local std::vector<int> acc;
+  acc.resize(n);
+  for (int i = 0; i < m; ++i) {
+    const unsigned char* ui = u + (size_t)i * k4;
+    std::fill(acc.begin(), acc.end(), 0);
+    for (int p = 0; p < k; ++p) {
+      const int uv = ui[p];
+      const signed char* wp = q + (long)p * n;
+      for (int j = 0; j < n; ++j) acc[j] += uv * (int)wp[j];
+    }
+    float* yi = y + (long)i * n;
+    const float si = sx[i];
+    for (int j = 0; j < n; ++j)
+      yi[j] = si * scale[j] * (float)(acc[j] - 128 * colsum[j]) + bias[j];
+  }
+}
 
 // Per-output-column int8 quantization: scale[j] = max_p |w[p,j]| / 127.
 inline void QuantizeInt8(const float* w, int k, int n, signed char* q,
@@ -372,25 +408,29 @@ inline Tensor DenseAny(const Tensor& x, const Tensor* kf,
   y.shape.back() = n;
   y.data.resize((long)m * n);
   if (kq) {
+    // Same quantized math on every CPU: per-row activation quantization
+    // + exact int32 dot + identical float writeback; the VNNI kernel is
+    // just a faster encoding of it (bit-identical, asserted in
+    // unit_tests.cpp TestInt8Kernels). Scratch is thread_local — this
+    // runs inside the per-chunk streaming hot loop.
+    const int k4 = (k + 3) & ~3;
+    static thread_local std::vector<unsigned char> u;
+    static thread_local std::vector<float> sx;
+    u.resize((size_t)m * k4);
+    sx.resize(m);
+    QuantizeRowsU8(x.data.data(), m, k, k4, u.data(), sx.data());
 #if defined(__x86_64__)
     if (!kq->packed.empty()) {
-      const int k4 = (k + 3) & ~3;
       const int n16 = (n + 15) & ~15;
-      std::vector<unsigned char> u((size_t)m * k4);
-      std::vector<float> sx(m);
-      QuantizeRowsU8(x.data.data(), m, k, k4, u.data(), sx.data());
       DenseInt8VnniKernel(u.data(), kq->packed.data(), kq->colsum.data(),
                           kq->scale.data(), bias.data.data(), sx.data(),
                           y.data.data(), m, k4, n, n16);
       return y;
     }
 #endif
-    MatMul(x.data.data(), kq->data.data(), y.data.data(), m, k, n);
-    for (int i = 0; i < m; ++i) {
-      float* yi = y.data.data() + (long)i * n;
-      for (int j = 0; j < n; ++j)
-        yi[j] = yi[j] * kq->scale[j] + bias.data[j];
-    }
+    DenseInt8ScalarKernel(u.data(), kq->data.data(), kq->colsum.data(),
+                          kq->scale.data(), bias.data.data(), sx.data(),
+                          y.data.data(), m, k, k4, n);
     return y;
   }
   if (kh)
@@ -460,10 +500,15 @@ inline void ReencodeWeights(std::map<std::string, Tensor>* tensors,
                             std::map<std::string, Int8Tensor>* int8,
                             WeightStore store) {
   if (store == WeightStore::kF32) return;
+  // test hook: parity fixtures are tiny, so they lower the size floor to
+  // force the quantized kernels through real coverage
+  long min_elems = 16384;
+  if (const char* e = std::getenv("ASR_REENCODE_MIN"))
+    min_elems = std::max(1L, std::atol(e));
   for (auto it = tensors->begin(); it != tensors->end();) {
     Tensor& t = it->second;
     // embeddings are row-GATHERED by id (not GEMM'd) via get() — keep f32
-    if (!(t.shape.size() == 2 && t.size() >= 16384) ||
+    if (!(t.shape.size() == 2 && t.size() >= min_elems) ||
         it->first.find("embedding") != std::string::npos) {
       ++it;
       continue;
@@ -483,9 +528,9 @@ inline void ReencodeWeights(std::map<std::string, Tensor>* tensors,
       q.scale.resize(t.shape[1]);
       QuantizeInt8(t.data.data(), t.shape[0], t.shape[1], q.data.data(),
                    q.scale.data());
+      ColSumInt8(q.data.data(), t.shape[0], t.shape[1], &q.colsum);
       if (HasVnni())
-        PackInt8Vnni(q.data.data(), t.shape[0], t.shape[1], &q.packed,
-                     &q.colsum);
+        PackInt8Vnni(q.data.data(), t.shape[0], t.shape[1], &q.packed);
       int8->emplace(it->first, std::move(q));
     }
     it = tensors->erase(it);

@@ -126,12 +126,14 @@ static void TestBf16MatMul() {
   CHECK(num / den > 0);  // it IS quantized (not silently f32)
 }
 
-static void TestInt8MatMul() {
-  // int8 weight storage: per-column quantize + raw-accumulate GEMM +
-  // column-scale dequant must track the f32 GEMM within quantization
-  // noise, and exact multiples of the column scale round-trip exactly.
-  const int m = 5, k = 96, n = 80;
-  std::vector<float> x((size_t)m * k), wf((size_t)k * n);
+static void TestInt8Kernels() {
+  // int8 path: per-column weight quantize + per-row activation quantize
+  // + exact int32 dot must track the f32 GEMM within quantization noise,
+  // and the VNNI kernel (when this CPU has it) must be BIT-IDENTICAL to
+  // the portable scalar kernel — --int8 numerics are CPU-independent.
+  const int m = 5, k = 97, n = 83;  // deliberately unaligned k4/n16 tails
+  const int k4 = (k + 3) & ~3, n16 = (n + 15) & ~15;
+  std::vector<float> x((size_t)m * k), wf((size_t)k * n), bias(n);
   unsigned s = 99;
   auto rnd = [&]() {
     s = s * 1664525u + 1013904223u;
@@ -139,6 +141,7 @@ static void TestInt8MatMul() {
   };
   for (auto& v : x) v = rnd();
   for (auto& v : wf) v = rnd();
+  for (auto& v : bias) v = rnd();
   std::vector<signed char> q((size_t)k * n);
   std::vector<float> scale(n);
   asr::math::QuantizeInt8(wf.data(), k, n, q.data(), scale.data());
@@ -150,20 +153,43 @@ static void TestInt8MatMul() {
     // column max quantizes to exactly +-127
     CHECK(std::fabs(amax - 127.0f * scale[j]) < 1e-6f * amax);
   }
-  std::vector<float> yf((size_t)m * n), yq((size_t)m * n);
+  std::vector<int> colsum;
+  asr::math::ColSumInt8(q.data(), k, n, &colsum);
+
+  std::vector<unsigned char> u((size_t)m * k4);
+  std::vector<float> sx(m);
+  asr::math::QuantizeRowsU8(x.data(), m, k, k4, u.data(), sx.data());
+
+  std::vector<float> yq((size_t)m * n);
+  asr::math::DenseInt8ScalarKernel(u.data(), q.data(), colsum.data(),
+                                   scale.data(), bias.data(), sx.data(),
+                                   yq.data(), m, k, k4, n);
+
+  // accuracy vs the f32 GEMM (+bias)
+  std::vector<float> yf((size_t)m * n);
   asr::math::MatMul(x.data(), wf.data(), yf.data(), m, k, n);
-  asr::math::MatMul(x.data(), q.data(), yq.data(), m, k, n);
   double num = 0, den = 0;
-  for (int i = 0; i < m; ++i)
-    for (int j = 0; j < n; ++j) {
-      const float d = yq[(size_t)i * n + j] * scale[j];
-      num += (yf[(size_t)i * n + j] - d) * (yf[(size_t)i * n + j] - d);
-      den += yf[(size_t)i * n + j] * yf[(size_t)i * n + j];
-    }
-  // per-element rel error ~1/254 accumulated over k=96 independent
-  // roundings -> relative L2 well under 1e-4 on random data
-  CHECK(num / den < 1e-4);
+  for (size_t i = 0; i < yf.size(); ++i) {
+    yf[i] += bias[i % n];
+    num += (yf[i] - yq[i]) * (yf[i] - yq[i]);
+    den += yf[i] * yf[i];
+  }
+  // weight + activation each add ~1/254 per-element rounding over k=97
+  // independent terms -> relative L2 well under 1e-3 on random data
+  CHECK(num / den < 1e-3);
   CHECK(num / den > 0);  // it IS quantized
+
+#if defined(__x86_64__)
+  if (asr::math::HasVnni()) {
+    std::vector<signed char> packed;
+    asr::math::PackInt8Vnni(q.data(), k, n, &packed);
+    std::vector<float> yv((size_t)m * n, -1e30f);
+    asr::math::DenseInt8VnniKernel(u.data(), packed.data(), colsum.data(),
+                                   scale.data(), bias.data(), sx.data(),
+                                   yv.data(), m, k4, n, n16);
+    for (size_t i = 0; i < yq.size(); ++i) CHECK(yv[i] == yq[i]);
+  }
+#endif
 }
 
 int main() {
@@ -171,7 +197,7 @@ int main() {
   TestGreedyDecoder();
   TestWavRoundTrip();
   TestBf16MatMul();
-  TestInt8MatMul();
+  TestInt8Kernels();
   std::printf("all native tests passed\n");
   return 0;
 }

@@ -35,14 +35,62 @@ def cpp_build(tmp_path_factory):
     return build
 
 
+def _train_chunk_fixture(model, cfg, steps=400):
+    """Overfit two tone utterances so logits have decisive gaps: the
+    bf16/int8 variants compare a quantized C++ decode against the f32 JAX
+    session, so a random-init fixture's near-tie argmaxes would make
+    token-for-token parity a coin flip (that flakiness shipped round 2's
+    offline sibling test red). Returns trained variables + the wav."""
+    from tensorflowasr_tpu.train.chunk_trainer import make_chunk_train_step
+    from tensorflowasr_tpu.train.state import ASRTrainState, make_optimizer
+
+    t = np.arange(3 * cfg.chunk_samples) / cfg.sample_rate
+    wav2 = np.stack([
+        0.95 * np.sin(2 * np.pi * 220 * t),
+        0.95 * np.sin(2 * np.pi * 550 * t) *
+        np.sign(np.sin(2 * np.pi * 3 * t)),
+    ]).astype(np.float32)
+    b = 2
+    batch = {
+        "wav": jnp.asarray(wav2),
+        "input_length": jnp.full((b,), 3 * cfg.sub_length, jnp.int32),
+        "phones": jnp.asarray([[1, 2, 3], [4, 5, 6]], jnp.int32),
+        "phone_length": jnp.full((b,), 3, jnp.int32),
+        "chars": jnp.asarray([[2, 3, 4], [5, 6, 7]], jnp.int32),
+        "char_length": jnp.full((b,), 3, jnp.int32),
+        "extra_phones": jnp.asarray([[1, 2, 3], [4, 5, 6]], jnp.int32),
+        "extra_phone_length": jnp.full((b,), 3, jnp.int32),
+        "extra_chars": jnp.asarray([[2, 3, 4], [5, 6, 7]], jnp.int32),
+        "extra_char_length": jnp.full((b,), 3, jnp.int32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch["wav"],
+                           batch["extra_phones"], 8, False,
+                           method=ChunkConformer.train_forward)
+    tx = make_optimizer({"lr": 3e-3})
+    state = ASRTrainState.create(apply_fn=model.apply,
+                                 params=variables["params"], tx=tx,
+                                 batch_stats=variables.get("batch_stats"))
+    step = make_chunk_train_step(model, max_pick=8, donate=False)
+    key = jax.random.PRNGKey(1)
+    for _ in range(steps):
+        state, metrics = step(state, batch, key)
+    assert float(metrics["phone_acc"]) > 0.99  # fixture IS decisive
+    trained = {"params": state.params}
+    if state.batch_stats is not None:
+        trained["batch_stats"] = state.batch_stats
+    return trained, wav2[0]
+
+
 @pytest.mark.parametrize("variant",
                          ["base", "picker_wb2", "lookahead_all", "bf16",
                           "int8"])
 def test_native_chunk_stream_parity(cpp_build, tmp_path, variant):
     """Token-for-token C++/JAX agreement; the ``bf16``/``int8`` variants
     run the engine with reduced-width weight storage (native_math.h /
-    Int8Tensor) and must still produce identical tokens on this fixture
-    (logit gaps >> quantization noise)."""
+    Int8Tensor) on a TRAINED fixture (decisive logit gaps), with
+    ASR_REENCODE_MIN lowering the quantizer's size floor so the tiny
+    fixture's kernels actually cross it — without the hook, int8 mode
+    quantized ZERO tensors here and the variant tested nothing."""
     import dataclasses
 
     cfg = tiny_cfg()
@@ -55,11 +103,16 @@ def test_native_chunk_stream_parity(cpp_build, tmp_path, variant):
         from tests.test_chunk import _lookahead_cfg
         cfg = _lookahead_cfg()
     model = ChunkConformer(cfg, N_PHONE, N_CHAR)
-    variables = model.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, cfg.chunk_samples), jnp.float32),
-        jnp.ones((1, 4), jnp.int32), 8, False,
-        method=ChunkConformer.train_forward)
+    quantized = variant in ("bf16", "int8")
+    trained_wav = None
+    if quantized:
+        variables, trained_wav = _train_chunk_fixture(model, cfg)
+    else:
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.chunk_samples), jnp.float32),
+            jnp.ones((1, 4), jnp.int32), 8, False,
+            method=ChunkConformer.train_forward)
 
     artifact = tmp_path / "artifact"
     phone_vocab = tmp_path / "phones.txt"
@@ -72,9 +125,12 @@ def test_native_chunk_stream_parity(cpp_build, tmp_path, variant):
                         phone_vocab=str(phone_vocab),
                         char_vocab=str(char_vocab))
 
-    rng = np.random.default_rng(11)
-    wav = rng.standard_normal((4 * cfg.chunk_samples,)).astype(
-        np.float32) * 0.1
+    if trained_wav is not None:
+        wav = trained_wav  # decode a TRAINED utterance: decisive tokens
+    else:
+        rng = np.random.default_rng(11)
+        wav = rng.standard_normal((4 * cfg.chunk_samples,)).astype(
+            np.float32) * 0.1
     wav_path = tmp_path / "utt.wav"
     write_wav(str(wav_path), wav, cfg.sample_rate)
 
@@ -88,11 +144,15 @@ def test_native_chunk_stream_parity(cpp_build, tmp_path, variant):
 
     cmd = [os.path.join(cpp_build, "asr_chunk"), str(artifact),
            str(wav_path), "--quiet"]
+    env = dict(os.environ)
     if variant == "bf16":
         cmd.append("--bf16")
     elif variant == "int8":
         cmd.append("--int8")
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    if quantized:
+        env["ASR_REENCODE_MIN"] = "256"  # tiny fixture: force quantization
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=300,
+                         env=env)
     assert out.returncode == 0, out.stderr
 
     lines = {ln.split("]")[0][1:]: ln.split("]", 1)[1].strip()
@@ -100,6 +160,8 @@ def test_native_chunk_stream_parity(cpp_build, tmp_path, variant):
     got_phones = lines.get("phones", "").split()
     got_chars = [int(x) for x in lines.get("chars", "").split()]
 
+    if quantized:  # non-vacuous: the trained utterance decodes its labels
+        assert list(want["phone_ids"]) == [1, 2, 3], want["phone_ids"]
     want_phones = [f"p{i}" for i in want["phone_ids"]]
     assert got_phones == want_phones, (got_phones, want_phones)
     assert got_chars == want["char_ids"], (got_chars, want["char_ids"])

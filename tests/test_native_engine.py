@@ -111,43 +111,78 @@ def test_native_engine_matches_jax(cpp_build, tmp_path, scan_layers):
 def test_native_engine_quantized_token_parity(cpp_build, tmp_path):
     """--bf16/--int8 weight storage must decode the same tokens as f32.
 
-    Uses a config big enough that kernels actually cross the re-encode
-    size threshold (ReencodeWeights quantizes only >=16384-elem 2-D
-    matrices), unlike the tiny parity fixture above."""
+    A random-init fixture is a bad oracle here: its logits are near-ties,
+    so bf16's ~0.4% relative noise can legitimately flip an argmax (that
+    flakiness shipped round 2 red). The fixture is therefore TRAINED to
+    overfit two utterances first — decisive logit gaps make
+    token-for-token a meaningful, stable bar — and ASR_REENCODE_MIN
+    lowers the quantizer's size floor so every Dense (not just the
+    >=16384-elem FF kernels) actually runs the reduced-width kernels."""
     from tensorflowasr_tpu.export.native_export import export_native
     from tensorflowasr_tpu.models.conformer import (
         ConformerCTC, ConformerConfig)
+    from tensorflowasr_tpu.train.asr_trainer import make_train_step
+    from tensorflowasr_tpu.train.state import ASRTrainState, make_optimizer
     from tensorflowasr_tpu.utils.audio import write_wav
 
     sr = 16000
+    n_phone, n_char = 8, 12
     cfg = ConformerConfig(dmodel=64, num_blocks=2, head_size=16,
                           num_heads=4, kernel_size=8, dropout=0.0,
                           ctcdecoder_dropout=0.0, translator_dropout=0.0,
                           ctcdecoder_num_blocks=1, translator_num_blocks=1,
                           n_mels=40)
-    model = ConformerCTC(cfg, 8, 12)
-    variables = model.init(jax.random.PRNGKey(5),
-                           jnp.zeros((1, 8000), jnp.float32),
-                           jnp.ones((1, 4), jnp.int32))
-    outdir = str(tmp_path / "artifact")
-    export_native(model, variables, outdir)
+    model = ConformerCTC(cfg, n_phone, n_char)
 
-    rng = np.random.default_rng(7)
-    t = np.arange(sr)
-    wav = (0.4 * np.sin(2 * np.pi * 300 * t / sr) +
-           0.1 * rng.standard_normal(sr)).astype(np.float32)
+    t = np.arange(8000) / sr
+    wav2 = np.stack([
+        0.95 * np.sin(2 * np.pi * 220 * t),
+        0.95 * np.sin(2 * np.pi * 550 * t) *
+        np.sign(np.sin(2 * np.pi * 3 * t)),
+    ]).astype(np.float32)
+    batch = {
+        "wav": jnp.asarray(wav2),
+        "input_length": jnp.asarray([12, 12], jnp.int32),
+        "phones": jnp.asarray([[1, 2, 3], [4, 5, 6]], jnp.int32),
+        "phone_length": jnp.asarray([3, 3], jnp.int32),
+        "chars": jnp.asarray([[2, 3, 1], [4, 5, 1]], jnp.int32),
+    }
+    variables = model.init(jax.random.PRNGKey(5), batch["wav"][:1],
+                           batch["phones"][:1])
+    tx = make_optimizer({"lr": 5e-3})
+    state = ASRTrainState.create(apply_fn=model.apply,
+                                 params=variables["params"], tx=tx,
+                                 batch_stats=variables.get("batch_stats"))
+    step = make_train_step(model, tx, blank_id=n_phone - 1, donate=False)
+    key = jax.random.PRNGKey(1)
+    # ~400 steps: params overfit much earlier, but the BatchNorm RUNNING
+    # stats (momentum 0.99) need the extra steps before eval-mode decode
+    # stops collapsing to blanks (same budget as test_overfit.py)
+    for _ in range(400):
+        state, metrics = step(state, batch, key)
+    assert float(metrics["ctc_acc"]) > 0.99  # fixture IS decisive
+    trained = {"params": state.params}
+    if state.batch_stats is not None:
+        trained["batch_stats"] = state.batch_stats
+
+    outdir = str(tmp_path / "artifact")
+    export_native(model, trained, outdir)
     wav_path = str(tmp_path / "x.wav")
-    write_wav(wav_path, wav, sr)
+    write_wav(wav_path, wav2[0], sr)
+
+    env = dict(os.environ, ASR_REENCODE_MIN="1024")
 
     def run(extra):
         out = subprocess.run(
             [os.path.join(cpp_build, "asr_offline"), outdir, wav_path]
-            + extra, capture_output=True, text=True)
+            + extra, capture_output=True, text=True, env=env)
         assert out.returncode == 0, out.stderr
         return {l.split(":")[0]: l.split(":", 1)[1]
                 for l in out.stdout.splitlines() if ":" in l}
 
     want = run([])
+    # non-vacuous: the trained utterance decodes to its phone labels
+    assert want["phone_ids"].split() == ["1", "2", "3"]
     for flag in ("--bf16", "--int8"):
         got = run([flag])
         assert got["phone_ids"] == want["phone_ids"], flag
