@@ -133,6 +133,13 @@ class ChunkNativeModel {
   std::map<std::string, Bf16Tensor> bf16_;
   std::map<std::string, Int8Tensor> int8_;
   ChunkNativeConfig cfg_;
+  // FFT frontend fast path (see native_model.h FftPlan): replaces the
+  // per-chunk [chunk_num, n_fft] x [n_fft, 2*n_freq] DFT GEMM — both its
+  // FLOPs and its 2-4 MB/chunk basis weight stream — when the stored
+  // basis verifies against the analytic hann-windowed form at Load.
+  bool fft_frontend_ = false;
+  FftPlan fft_plan_;
+  std::vector<float> fft_window_;
 };
 
 }  // namespace asr

@@ -65,6 +65,16 @@ struct Int8Tensor {
 // Weight storage mode for the standalone engines (Load argument).
 enum class WeightStore { kF32, kBf16, kInt8 };
 
+// Radix-2 FFT plan (bit-reversal + per-stage twiddles). Built at Load
+// when the artifact's DFT basis is the analytic hann-windowed Fourier
+// basis, replacing the [frames, n_fft] x [n_fft, 2*n_freq] frontend GEMM
+// (~25% of offline decode) with ~40x fewer ops. Helpers in native_math.h.
+struct FftPlan {
+  int n = 0;
+  std::vector<int> rev;          // bit-reversal permutation
+  std::vector<float> wre, wim;   // per-stage twiddles, concatenated
+};
+
 struct NativeConfig {
   int dmodel = 144;
   int reduction_factor = 4;
@@ -122,6 +132,10 @@ class NativeModel {
  private:
   Tensor LogMel(const std::vector<float>& wav) const;
   Tensor ConvSubsampling(const Tensor& mel) const;
+  // 3x3 SAME conv + relu as im2col GEMM through DenseByName (kernels are
+  // flattened to [9*cin, cout] at Load, so bf16/int8 modes cover them).
+  Tensor Conv2dGemmRelu(const Tensor& x, const std::string& base, int st,
+                        int sf) const;
   // in-place conformer block under param prefix (params/<prefix>/...).
   void ConformerBlockFwd(Tensor* x, const std::string& prefix,
                          int kernel_size, float fc_factor,
@@ -133,6 +147,12 @@ class NativeModel {
   std::map<std::string, Tensor> tensors_;
   std::map<std::string, Bf16Tensor> bf16_;
   std::map<std::string, Int8Tensor> int8_;
+  // FFT frontend fast path (set at Load if the stored basis verifies
+  // against the analytic hann-windowed form; else LogMel falls back to
+  // the basis GEMM — e.g. a custom/trained basis)
+  bool fft_frontend_ = false;
+  FftPlan fft_plan_;
+  std::vector<float> fft_window_;
 };
 
 }  // namespace asr

@@ -210,6 +210,37 @@ bool ChunkNativeModel::Load(const std::string& dir, WeightStore store) {
       t.shape = {t.shape[0] * t.shape[1]};
     }
   }
+  // FFT frontend eligibility — same verification as the offline engine
+  // (native_model.cpp): the stored DFT basis must equal the analytic
+  // hann-windowed Fourier basis or the GEMM path is kept.
+  {
+    const auto it = tensors_.find("frontend/dft");
+    const int n = cfg_.n_fft, n_freq = n / 2 + 1;
+    if (it != tensors_.end() && it->second.shape.size() == 2 &&
+        it->second.dim(0) == n && it->second.dim(1) == 2 * n_freq &&
+        FftPlanInit(&fft_plan_, n)) {
+      const Tensor& dft = it->second;
+      fft_window_.resize(n);
+      const double two_pi = 2.0 * 3.14159265358979323846;
+      for (int p = 0; p < n; ++p)
+        fft_window_[p] = (float)(0.5 - 0.5 * std::cos(two_pi * p / n));
+      bool ok = true;
+      for (int p = 0; p < n && ok; p += 89)
+        for (int j = 0; j < n_freq; j += 53) {
+          const double ang = two_pi * p * j / n;
+          const float want_re = fft_window_[p] * (float)std::cos(ang);
+          const float want_im = -fft_window_[p] * (float)std::sin(ang);
+          if (std::fabs(dft.data[(long)p * 2 * n_freq + j] - want_re) >
+                  1e-4f ||
+              std::fabs(dft.data[(long)p * 2 * n_freq + n_freq + j] -
+                        want_im) > 1e-4f) {
+            ok = false;
+            break;
+          }
+        }
+      fft_frontend_ = ok;
+    }
+  }
   ReencodeWeights(&tensors_, &bf16_, &int8_, store);
   return is_chunk && cfg_.num_phone_classes > 0;
 }
@@ -289,15 +320,44 @@ Tensor ChunkNativeModel::FrontStep(ChunkStreamState* st,
       row[i] = (s >= 0 && s < total) ? full[s] : 0.0f;
     }
   }
-  mm(frames.data(), "frontend/dft", spec.data(), t, n_fft, 2 * n_freq);
-  // plain log10 power — the causal chunk variant has NO max-norm
-  // (ops/frontend.py chunk_amplitude_to_db)
-  for (int f = 0; f < t; ++f) {
-    const float* sp = spec.data() + (long)f * 2 * n_freq;
-    float* dbf = db.data() + (long)f * n_freq;
-    for (int j = 0; j < n_freq; ++j) {
-      const float re = sp[j], im = sp[n_freq + j];
-      dbf[j] = std::log(std::max(re * re + im * im, 1e-10f)) * inv_ln10;
+  if (fft_frontend_) {
+    // packed real-pair FFT — kills both the DFT GEMM's FLOPs and its
+    // per-chunk basis weight stream (2-4 MB in bf16/f32 storage)
+    std::vector<float> re(n_fft), im(n_fft);
+    for (int f = 0; f < t; f += 2) {
+      const float* fa = frames.data() + (long)f * n_fft;
+      const bool two = f + 1 < t;
+      const float* fb = two ? fa + n_fft : nullptr;
+      for (int p = 0; p < n_fft; ++p) {
+        re[p] = fa[p] * fft_window_[p];
+        im[p] = two ? fb[p] * fft_window_[p] : 0.0f;
+      }
+      FftRun(fft_plan_, re.data(), im.data());
+      float* da = db.data() + (long)f * n_freq;
+      float* dbr = two ? da + n_freq : nullptr;
+      for (int j = 0; j < n_freq; ++j) {
+        const int nj = (n_fft - j) & (n_fft - 1);
+        const float xr = re[j], xi = im[j], yr = re[nj], yi = im[nj];
+        const float ar = 0.5f * (xr + yr), ai = 0.5f * (xi - yi);
+        da[j] = std::log(std::max(ar * ar + ai * ai, 1e-10f)) * inv_ln10;
+        if (two) {
+          const float br = 0.5f * (xi + yi), bi = 0.5f * (yr - xr);
+          dbr[j] =
+              std::log(std::max(br * br + bi * bi, 1e-10f)) * inv_ln10;
+        }
+      }
+    }
+  } else {
+    mm(frames.data(), "frontend/dft", spec.data(), t, n_fft, 2 * n_freq);
+    // plain log10 power — the causal chunk variant has NO max-norm
+    // (ops/frontend.py chunk_amplitude_to_db)
+    for (int f = 0; f < t; ++f) {
+      const float* sp = spec.data() + (long)f * 2 * n_freq;
+      float* dbf = db.data() + (long)f * n_freq;
+      for (int j = 0; j < n_freq; ++j) {
+        const float re = sp[j], im = sp[n_freq + j];
+        dbf[j] = std::log(std::max(re * re + im * im, 1e-10f)) * inv_ln10;
+      }
     }
   }
   mm(db.data(), "frontend/freq2mel", mel.data.data(), t, n_freq, n_mels);

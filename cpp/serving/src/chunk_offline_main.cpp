@@ -16,6 +16,7 @@
 //          (asr_session.cpp:171-261): start on a voiced check, finalize
 //          the sentence after 5 consecutive silent checks, and skip model
 //          compute entirely during silence.
+#include <chrono>
 #include <cstdio>
 #include <cstring>
 #include <string>
@@ -116,6 +117,7 @@ int main(int argc, char** argv) {
   };
 
   const size_t n_chunks = (wav.samples.size() + cs - 1) / cs;
+  const auto t_decode0 = std::chrono::steady_clock::now();
   for (size_t ci = 0; ci < n_chunks; ++ci) {
     const size_t pos = ci * cs;
     const size_t n = std::min((size_t)cs, wav.samples.size() - pos);
@@ -174,6 +176,16 @@ int main(int argc, char** argv) {
       }
     }
   }
+
+  // decode-only wall time (excludes weight load/repack and wav IO) —
+  // what bench.py uses for honest per-audio-second RTF
+  const double decode_s =
+      std::chrono::duration<double>(std::chrono::steady_clock::now() -
+                                    t_decode0)
+          .count();
+  std::printf("[decode_seconds] %.6f\n", decode_s);
+  std::printf("[audio_seconds] %.6f\n",
+              (double)wav.samples.size() / cfg.sample_rate);
 
   // final outputs: collapsed phone ids + chars (incl. provisional tail)
   std::vector<int> phone_seq = Collapse(phone_acc, phone_blank);

@@ -537,6 +537,59 @@ inline void ReencodeWeights(std::map<std::string, Tensor>* tensors,
   }
 }
 
+// --- Radix-2 FFT (frontend fast path) --------------------------------------
+
+inline bool FftPlanInit(FftPlan* plan, int n) {
+  if (n < 4 || (n & (n - 1)) != 0) return false;
+  plan->n = n;
+  int lg = 0;
+  while ((1 << lg) < n) ++lg;
+  plan->rev.assign(n, 0);
+  for (int i = 0; i < n; ++i) {
+    int r = 0;
+    for (int b = 0; b < lg; ++b) r |= ((i >> b) & 1) << (lg - 1 - b);
+    plan->rev[i] = r;
+  }
+  plan->wre.clear();
+  plan->wim.clear();
+  for (int len = 2; len <= n; len <<= 1)
+    for (int j = 0; j < len / 2; ++j) {
+      const double ang = -2.0 * 3.14159265358979323846 * j / len;
+      plan->wre.push_back((float)std::cos(ang));
+      plan->wim.push_back((float)std::sin(ang));
+    }
+  return true;
+}
+
+// In-place iterative Cooley-Tukey over (re, im), length plan.n.
+inline void FftRun(const FftPlan& plan, float* re, float* im) {
+  const int n = plan.n;
+  for (int i = 0; i < n; ++i) {
+    const int r = plan.rev[i];
+    if (i < r) {
+      std::swap(re[i], re[r]);
+      std::swap(im[i], im[r]);
+    }
+  }
+  size_t tw = 0;
+  for (int len = 2; len <= n; len <<= 1) {
+    const int half = len / 2;
+    const float* wr = plan.wre.data() + tw;
+    const float* wi = plan.wim.data() + tw;
+    for (int i = 0; i < n; i += len)
+      for (int j = 0; j < half; ++j) {
+        const int a = i + j, b = a + half;
+        const float xr = re[b] * wr[j] - im[b] * wi[j];
+        const float xi = re[b] * wi[j] + im[b] * wr[j];
+        re[b] = re[a] - xr;
+        im[b] = im[a] - xi;
+        re[a] += xr;
+        im[a] += xi;
+      }
+    tw += half;
+  }
+}
+
 // Keras/TF 'SAME' padding amounts.
 inline void SamePad(int in, int k, int s, int* lo, int* hi) {
   const int out = (in + s - 1) / s;

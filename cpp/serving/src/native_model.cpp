@@ -1,7 +1,9 @@
 #include "native_model.h"
 
+#include <chrono>
 #include <cmath>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <fstream>
 #include <sstream>
@@ -119,6 +121,49 @@ bool NativeModel::Load(const std::string& dir, WeightStore store) {
       t.shape = {t.shape[0] * t.shape[1]};
     }
   }
+  // Flatten the two 3x3 subsampling conv kernels [3,3,cin,cout] ->
+  // [9*cin, cout] so the conv runs as an im2col GEMM through DenseByName
+  // (and the re-encoder can store conv2 — the model's single biggest
+  // GEMM, ~5 GFLOP per 30 s — in bf16/int8 like any Dense).
+  for (const char* c : {"params/encoder/conv_subsampling/conv1/kernel",
+                        "params/encoder/conv_subsampling/conv2/kernel"}) {
+    auto it = tensors_.find(c);
+    if (it != tensors_.end() && it->second.shape.size() == 4)
+      it->second.shape = {it->second.shape[0] * it->second.shape[1] *
+                              it->second.shape[2],
+                          it->second.shape[3]};
+  }
+  // FFT frontend eligibility: the stored DFT basis must equal the
+  // analytic hann-windowed Fourier basis (ops/frontend.py stft_kernels).
+  // A custom/trained basis fails the spot check and keeps the GEMM path.
+  {
+    const auto it = tensors_.find("frontend/dft");
+    const int n = cfg_.n_fft, n_freq = n / 2 + 1;
+    if (it != tensors_.end() && it->second.shape.size() == 2 &&
+        it->second.dim(0) == n && it->second.dim(1) == 2 * n_freq &&
+        FftPlanInit(&fft_plan_, n)) {
+      const Tensor& dft = it->second;
+      fft_window_.resize(n);
+      const double two_pi = 2.0 * 3.14159265358979323846;
+      for (int p = 0; p < n; ++p)
+        fft_window_[p] = (float)(0.5 - 0.5 * std::cos(two_pi * p / n));
+      bool ok = true;
+      for (int p = 0; p < n && ok; p += 89)
+        for (int j = 0; j < n_freq; j += 53) {
+          const double ang = two_pi * p * j / n;
+          const float want_re = fft_window_[p] * (float)std::cos(ang);
+          const float want_im = -fft_window_[p] * (float)std::sin(ang);
+          if (std::fabs(dft.data[(long)p * 2 * n_freq + j] - want_re) >
+                  1e-4f ||
+              std::fabs(dft.data[(long)p * 2 * n_freq + n_freq + j] -
+                        want_im) > 1e-4f) {
+            ok = false;
+            break;
+          }
+        }
+      fft_frontend_ = ok;
+    }
+  }
   ReencodeWeights(&tensors_, &bf16_, &int8_, store);
   return cfg_.num_phone_classes > 0;
 }
@@ -146,8 +191,8 @@ Tensor NativeModel::LogMel(const std::vector<float>& wav) const {
     else
       MatMul(xp, get(name).data.data(), yp, m, k, n);
   };
-  // materialize ALL frames and run ONE blocked matmul (a per-frame m=1
-  // MatMul defeats the register blocking — measured 3x slower)
+  // materialize ALL frames (a per-frame m=1 MatMul defeats the register
+  // blocking — measured 3x slower; the FFT path reuses the same layout)
   std::vector<float> all_frames((long)frames * n_fft, 0.0f);
   for (int f = 0; f < frames; ++f) {
     const int start = f * hop - lo;
@@ -157,17 +202,46 @@ Tensor NativeModel::LogMel(const std::vector<float>& wav) const {
       std::memcpy(all_frames.data() + (long)f * n_fft + (s0 - start),
                   wav.data() + s0, (size_t)(s1 - s0) * sizeof(float));
   }
-  std::vector<float> spec((long)frames * 2 * n_freq);
-  mm(all_frames.data(), "frontend/dft", spec.data(), frames, n_fft,
-     2 * n_freq);
   Tensor power;
   power.shape = {frames, n_freq};
   power.data.resize((long)frames * n_freq);
-  for (int f = 0; f < frames; ++f) {
-    const float* sp = spec.data() + (long)f * 2 * n_freq;
-    for (int j = 0; j < n_freq; ++j) {
-      const float re = sp[j], im = sp[n_freq + j];
-      power.data[(long)f * n_freq + j] = re * re + im * im;
+  if (fft_frontend_) {
+    // real-packed radix-2 FFT: two windowed real frames per complex
+    // transform (split by conjugate symmetry) — ~40x fewer ops than the
+    // windowed-DFT GEMM, ~1e-6 relative difference
+    std::vector<float> re(n_fft), im(n_fft);
+    for (int f = 0; f < frames; f += 2) {
+      const float* fa = all_frames.data() + (long)f * n_fft;
+      const bool two = f + 1 < frames;
+      const float* fb = two ? fa + n_fft : nullptr;
+      for (int p = 0; p < n_fft; ++p) {
+        re[p] = fa[p] * fft_window_[p];
+        im[p] = two ? fb[p] * fft_window_[p] : 0.0f;
+      }
+      FftRun(fft_plan_, re.data(), im.data());
+      float* pa = power.data.data() + (long)f * n_freq;
+      float* pb = two ? pa + n_freq : nullptr;
+      for (int j = 0; j < n_freq; ++j) {
+        const int nj = (n_fft - j) & (n_fft - 1);
+        const float xr = re[j], xi = im[j], yr = re[nj], yi = im[nj];
+        const float ar = 0.5f * (xr + yr), ai = 0.5f * (xi - yi);
+        pa[j] = ar * ar + ai * ai;
+        if (two) {
+          const float br = 0.5f * (xi + yi), bi = 0.5f * (yr - xr);
+          pb[j] = br * br + bi * bi;
+        }
+      }
+    }
+  } else {
+    std::vector<float> spec((long)frames * 2 * n_freq);
+    mm(all_frames.data(), "frontend/dft", spec.data(), frames, n_fft,
+       2 * n_freq);
+    for (int f = 0; f < frames; ++f) {
+      const float* sp = spec.data() + (long)f * 2 * n_freq;
+      for (int j = 0; j < n_freq; ++j) {
+        const float re = sp[j], im = sp[n_freq + j];
+        power.data[(long)f * n_freq + j] = re * re + im * im;
+      }
     }
   }
 
@@ -192,57 +266,65 @@ Tensor NativeModel::LogMel(const std::vector<float>& wav) const {
 
 // -- conv subsampling -------------------------------------------------------
 
-namespace {
-
-// x [T, F, Cin] -> conv2d 3x3 stride (st, sf) SAME + relu, kernel
-// [3, 3, Cin, Cout] (flax nn.Conv layout).
-Tensor Conv2dSameRelu(const Tensor& x, const Tensor& kernel,
-                      const Tensor& bias, int st, int sf) {
+// x [T, F, Cin] -> conv2d 3x3 stride (st, sf) SAME + relu. The kernel
+// (flax layout [3, 3, Cin, Cout], flattened to [9*Cin, Cout] at Load)
+// multiplies im2col patch rows through DenseByName, so the conv GEMM —
+// conv2 is the single biggest matmul in the model — uses the same
+// register-tiled / bf16 / int8-VNNI kernels as every Dense. Time-blocked
+// so the patch buffer stays small; per-row int8 activation quantization
+// makes the blocking numerics-neutral.
+Tensor NativeModel::Conv2dGemmRelu(const Tensor& x, const std::string& base,
+                                   int st, int sf) const {
   const int t = x.dim(0), f = x.dim(1), cin = x.dim(2);
-  const int kh = kernel.dim(0), kw = kernel.dim(1);
-  const int cout = kernel.dim(3);
+  constexpr int kh = 3, kw = 3;
+  const int cout = get(base + "/bias").dim(0);
   int tlo, thi, flo, fhi;
   SamePad(t, kh, st, &tlo, &thi);
   SamePad(f, kw, sf, &flo, &fhi);
+  (void)thi;
+  (void)fhi;
   const int ot = (t + st - 1) / st, of = (f + sf - 1) / sf;
+  const int kdim = kh * kw * cin;
   Tensor y;
   y.shape = {ot, of, cout};
-  y.data.assign((long)ot * of * cout, 0.0f);
-  for (int i = 0; i < ot; ++i) {
-    for (int j = 0; j < of; ++j) {
-      float* out = y.data.data() + ((long)i * of + j) * cout;
-      for (int a = 0; a < kh; ++a) {
-        const int ti = i * st - tlo + a;
-        if (ti < 0 || ti >= t) continue;
-        for (int b = 0; b < kw; ++b) {
-          const int fj = j * sf - flo + b;
-          if (fj < 0 || fj >= f) continue;
-          const float* xin = x.data.data() + ((long)ti * f + fj) * cin;
-          const float* w = kernel.data.data() +
-                           (((long)a * kw + b) * cin) * cout;
-          for (int ci = 0; ci < cin; ++ci)
-            for (int co = 0; co < cout; ++co)
-              out[co] += xin[ci] * w[ci * cout + co];
+  y.data.resize((long)ot * of * cout);
+  constexpr int kBlock = 64;  // output-time rows per GEMM
+  Tensor patches;
+  for (int i0 = 0; i0 < ot; i0 += kBlock) {
+    const int ib = std::min(kBlock, ot - i0);
+    patches.shape = {ib * of, kdim};
+    patches.data.assign((long)ib * of * kdim, 0.0f);
+    for (int i = 0; i < ib; ++i)
+      for (int j = 0; j < of; ++j) {
+        float* row = patches.data.data() + ((long)i * of + j) * kdim;
+        for (int a = 0; a < kh; ++a) {
+          const int ti = (i0 + i) * st - tlo + a;
+          if (ti < 0 || ti >= t) continue;
+          for (int b = 0; b < kw; ++b) {
+            const int fj = j * sf - flo + b;
+            if (fj < 0 || fj >= f) continue;
+            std::memcpy(row + ((long)a * kw + b) * cin,
+                        x.data.data() + ((long)ti * f + fj) * cin,
+                        (size_t)cin * sizeof(float));
+          }
         }
       }
-      for (int co = 0; co < cout; ++co)
-        out[co] = std::max(out[co] + bias.data[co], 0.0f);
-    }
+    Tensor out = DenseByName(patches, base);
+    for (long e = 0; e < out.size(); ++e)
+      out.data[e] = std::max(out.data[e], 0.0f);
+    std::memcpy(y.data.data() + (long)i0 * of * cout, out.data.data(),
+                (size_t)out.size() * sizeof(float));
   }
   return y;
 }
-
-}  // namespace
 
 Tensor NativeModel::ConvSubsampling(const Tensor& mel) const {
   // [T, n_mels] -> [T, n_mels, 1]
   Tensor x = mel;
   x.shape = {mel.dim(0), mel.dim(1), 1};
   const std::string p = "params/encoder/conv_subsampling/";
-  x = Conv2dSameRelu(x, get(p + "conv1/kernel"), get(p + "conv1/bias"),
-                     cfg_.reduction_factor / 2, 2);
-  x = Conv2dSameRelu(x, get(p + "conv2/kernel"), get(p + "conv2/bias"),
-                     2, 2);
+  x = Conv2dGemmRelu(x, p + "conv1", cfg_.reduction_factor / 2, 2);
+  x = Conv2dGemmRelu(x, p + "conv2", 2, 2);
   const int t = x.dim(0);
   x.shape = {t, x.dim(1) * x.dim(2)};
   return DenseByName(x, p + "linear");
@@ -403,12 +485,24 @@ void NativeModel::ConformerBlockFwd(Tensor* x, const std::string& prefix,
 // -- public pipeline --------------------------------------------------------
 
 Tensor NativeModel::Encode(const std::vector<float>& wav) const {
+  const bool timings = std::getenv("ASR_STAGE_TIMINGS") != nullptr;
+  auto now = [] { return std::chrono::steady_clock::now(); };
+  auto t0 = now();
+  auto lap = [&](const char* name) {
+    if (!timings) return;
+    std::fprintf(stderr, "encode_%s: %.4f\n", name,
+                 std::chrono::duration<double>(now() - t0).count());
+    t0 = now();
+  };
   Tensor mel = LogMel(wav);
+  lap("logmel");
   Tensor x = ConvSubsampling(mel);
+  lap("subsample");
   for (int i = 0; i < cfg_.num_blocks; ++i)
     ConformerBlockFwd(&x,
                       "encoder/conformer_block_" + std::to_string(i),
                       cfg_.kernel_size, cfg_.fc_factor, nullptr);
+  lap("blocks");
   return x;
 }
 

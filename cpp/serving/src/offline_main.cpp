@@ -13,6 +13,7 @@
 //                 the wav first (merge gaps < 0.1 s, resplit > 15 s —
 //                 OfflineVAD semantics) and decode per segment, like the
 //                 reference offline session (offline_asr_session.py:15-98)
+#include <chrono>
 #include <cmath>
 #include <cstdio>
 #include <cstring>
@@ -35,6 +36,7 @@ int main(int argc, char** argv) {
   }
   const std::string dir = argv[1];
   std::string dump_path, vad_dir;
+  bool timings = false;
   asr::WeightStore store = asr::WeightStore::kF32;
   for (int i = 3; i < argc; ++i) {
     if (std::strcmp(argv[i], "--dump") == 0 && i + 1 < argc)
@@ -45,6 +47,7 @@ int main(int argc, char** argv) {
       store = asr::WeightStore::kBf16;
     if (std::strcmp(argv[i], "--int8") == 0)
       store = asr::WeightStore::kInt8;
+    if (std::strcmp(argv[i], "--timings") == 0) timings = true;
   }
 
   asr::NativeModel model;
@@ -111,8 +114,17 @@ int main(int argc, char** argv) {
     return 0;
   }
 
+  const auto t_decode0 = std::chrono::steady_clock::now();
+  auto lap = [last = t_decode0]() mutable {
+    const auto now = std::chrono::steady_clock::now();
+    const double s = std::chrono::duration<double>(now - last).count();
+    last = now;
+    return s;
+  };
   asr::Tensor enc = model.Encode(wav.samples);
+  if (timings) std::printf("stage_encode: %.4f\n", lap());
   asr::Tensor logits = model.CtcLogits(enc);
+  if (timings) std::printf("stage_ctc: %.4f\n", lap());
   if (!dump_path.empty()) {
     std::ofstream f(dump_path, std::ios::binary);
     int hdr[2] = {logits.dim(0), logits.dim(1)};
@@ -121,7 +133,18 @@ int main(int argc, char** argv) {
             logits.size() * sizeof(float));
   }
   std::vector<int> phones = model.GreedyPhones(logits);
+  if (timings) std::printf("stage_greedy: %.4f\n", lap());
   std::vector<int> chars = model.Translate(phones, enc);
+  if (timings) std::printf("stage_translate: %.4f\n", lap());
+  // decode-only wall time (excludes weight load/re-encode and wav IO) —
+  // what bench.py uses for honest per-audio-second RTF
+  const double decode_s =
+      std::chrono::duration<double>(std::chrono::steady_clock::now() -
+                                    t_decode0)
+          .count();
+  std::printf("decode_seconds: %.6f\n", decode_s);
+  std::printf("audio_seconds: %.6f\n",
+              (double)wav.samples.size() / model.config().sample_rate);
 
   std::printf("phone_ids:");
   for (int id : phones) std::printf(" %d", id);

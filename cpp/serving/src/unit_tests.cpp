@@ -192,12 +192,58 @@ static void TestInt8Kernels() {
 #endif
 }
 
+static void TestFftMatchesDft() {
+  // packed real-pair FFT (the frontend fast path) vs the literal
+  // hann-windowed DFT sums it replaces.
+  const int n = 256, n_freq = n / 2 + 1;
+  asr::FftPlan plan;
+  CHECK(asr::math::FftPlanInit(&plan, n));
+  CHECK(!asr::math::FftPlanInit(&plan, 100));  // non-power-of-2 refused
+
+  std::vector<float> a(n), b(n), win(n);
+  unsigned s = 7;
+  auto rnd = [&]() {
+    s = s * 1664525u + 1013904223u;
+    return (float)(int32_t)s / 2147483648.0f;
+  };
+  for (int p = 0; p < n; ++p) {
+    a[p] = rnd();
+    b[p] = rnd();
+    win[p] = (float)(0.5 - 0.5 * std::cos(2.0 * 3.14159265358979323846 *
+                                          p / n));
+  }
+  std::vector<float> re(n), im(n);
+  for (int p = 0; p < n; ++p) {
+    re[p] = a[p] * win[p];
+    im[p] = b[p] * win[p];
+  }
+  asr::math::FftRun(plan, re.data(), im.data());
+  for (int j = 0; j < n_freq; ++j) {
+    const int nj = (n - j) & (n - 1);
+    const float ar = 0.5f * (re[j] + re[nj]), ai = 0.5f * (im[j] - im[nj]);
+    const float br = 0.5f * (im[j] + im[nj]), bi = 0.5f * (re[nj] - re[j]);
+    double war = 0, wai = 0, wbr = 0, wbi = 0;  // direct windowed DFT
+    for (int p = 0; p < n; ++p) {
+      const double ang = 2.0 * 3.14159265358979323846 * p * j / n;
+      war += a[p] * win[p] * std::cos(ang);
+      wai -= a[p] * win[p] * std::sin(ang);
+      wbr += b[p] * win[p] * std::cos(ang);
+      wbi -= b[p] * win[p] * std::sin(ang);
+    }
+    CHECK(std::fabs(ar - war) < 1e-3);
+    CHECK(std::fabs(ai - wai) < 1e-3);
+    CHECK(std::fabs(br - wbr) < 1e-3);
+    CHECK(std::fabs(bi - wbi) < 1e-3);
+  }
+}
+
 int main() {
   TestTokener();
   TestGreedyDecoder();
   TestWavRoundTrip();
   TestBf16MatMul();
   TestInt8Kernels();
+  TestFftMatchesDft();
   std::printf("all native tests passed\n");
   return 0;
 }
