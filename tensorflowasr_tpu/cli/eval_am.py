@@ -29,9 +29,17 @@ def main(argv=None) -> int:
     parser = config_parser(__doc__)
     parser.add_argument("--max_batches", type=int, default=None)
     parser.add_argument("--lm", default=None,
-                        help="n-gram LM .npz (cli/train_lm) -> decode with "
-                             "on-chip beam search + shallow fusion instead "
-                             "of greedy (offline model only)")
+                        help="n-gram LM: .npz (cli/train_lm) or .arpa "
+                             "(KenLM text, tokens = phone vocab) -> decode "
+                             "with on-chip beam search + shallow fusion "
+                             "instead of greedy (offline model only)")
+    parser.add_argument("--word_lm", default=None,
+                        help="WORD-level .arpa whose tokens are pinyin "
+                             "syllables: normalized into a phone-level LM "
+                             "via the pinyin map (the word-trie role of "
+                             "the reference's KenLM scorer) and fused "
+                             "on-chip like --lm")
+    parser.add_argument("--word_lm_order", type=int, default=3)
     parser.add_argument("--lm_weight", type=float, default=0.3)
     parser.add_argument("--beam_width", type=int, default=8)
     args = parser.parse_args(argv)
@@ -71,15 +79,36 @@ def main(argv=None) -> int:
         if not trainer.restore():
             print("warning: no checkpoint found; evaluating random init",
                   file=sys.stderr)
-        if args.lm:
+        if args.lm or args.word_lm:
             from tensorflowasr_tpu.train.asr_trainer import (
                 make_beam_predict_step)
-            from tensorflowasr_tpu.utils.ngram_lm import NGramLM, lm_pack
+            from tensorflowasr_tpu.utils.ngram_lm import (
+                NGramLM, lm_pack, unit_lm_from_word_arpa)
+            from tensorflowasr_tpu.utils.text import tokens_to_phones
 
-            lm = lm_pack(NGramLM.load(args.lm))
+            if args.word_lm:
+                # pinyin-syllable words -> phone-id units via the map
+                def to_units(word):
+                    phs = (p2p or {}).get(word)
+                    if phs is None:
+                        return None
+                    try:
+                        return phone_f.extract(
+                            tokens_to_phones([word], p2p, phone_f))
+                    except KeyError:
+                        return None
+
+                host_lm = unit_lm_from_word_arpa(
+                    args.word_lm, to_units, phone_f.num_classes,
+                    order=args.word_lm_order)
+            elif args.lm.endswith(".arpa"):
+                host_lm = NGramLM.from_arpa(args.lm, phone_f.token_to_index,
+                                            phone_f.num_classes)
+            else:
+                host_lm = NGramLM.load(args.lm)
             trainer.predict_step = make_beam_predict_step(
                 trainer.model, blank_id=phone_f.blank,
-                beam_width=args.beam_width, ngram_lm=lm,
+                beam_width=args.beam_width, ngram_lm=lm_pack(host_lm),
                 lm_weight=args.lm_weight)
         tester = AMTester(trainer, char_end_id=char_f.endid())
         result = tester.run(dl.generator(train=False),

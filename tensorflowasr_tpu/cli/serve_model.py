@@ -77,6 +77,14 @@ def main(argv=None) -> int:
                         help="concurrent chunk-stream slot pool size")
     parser.add_argument("--stream_wait_ms", type=float, default=8.0,
                         help="dynamic-batching coalescing window")
+    parser.add_argument("--beam_width", type=int, default=0,
+                        help=">0: offline decode uses on-chip CTC prefix "
+                             "beam search instead of greedy")
+    parser.add_argument("--lm", default=None,
+                        help="phone n-gram LM for shallow fusion: .npz "
+                             "(cli/train_lm) or .arpa (KenLM text); "
+                             "implies --beam_width 8 if unset")
+    parser.add_argument("--lm_weight", type=float, default=0.3)
     args = parser.parse_args(argv)
     config = load_config(args)
     phone_f, char_f, _, _, _ = build_featurizers(config)
@@ -105,9 +113,21 @@ def main(argv=None) -> int:
     variables = {"params": trainer.state.params}
     if trainer.state.batch_stats is not None:
         variables["batch_stats"] = trainer.state.batch_stats
+    ngram = None
+    beam_width = args.beam_width
+    if args.lm:
+        from tensorflowasr_tpu.utils.ngram_lm import NGramLM, lm_pack
+
+        host_lm = (NGramLM.from_arpa(args.lm, phone_f.token_to_index,
+                                     phone_f.num_classes)
+                   if args.lm.endswith(".arpa") else NGramLM.load(args.lm))
+        ngram = lm_pack(host_lm)
+        beam_width = beam_width or 8
     asr_engine = ASREngine(trainer.model, variables, sample_rate=sr,
                            text_featurizer=char_f,
-                           phone_featurizer=phone_f)
+                           phone_featurizer=phone_f,
+                           beam_width=beam_width, ngram_lm=ngram,
+                           lm_weight=args.lm_weight)
 
     vad_engine = None
     if args.vad_data_config and args.vad_model_config:

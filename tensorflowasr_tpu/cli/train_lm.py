@@ -72,7 +72,10 @@ def main(argv=None):
     p.add_argument("--discount", type=float, default=0.75)
     p.add_argument("--output", default="lm.npz")
     p.add_argument("--lm", default=None,
-                   help="existing lm.npz: skip training, evaluate only")
+                   help="existing lm.npz (or .arpa: KenLM text import): "
+                        "skip training, evaluate only")
+    p.add_argument("--arpa_out", default=None,
+                   help="also export the LM as ARPA text (KenLM interop)")
     args = p.parse_args(argv)
     if not args.model_config:
         args.model_config = args.data_config   # LM needs only the data YAML
@@ -84,7 +87,11 @@ def main(argv=None):
     from tensorflowasr_tpu.utils.ngram_lm import NGramLM, train_ngram_lm
 
     if args.lm:
-        lm = NGramLM.load(args.lm)
+        if args.lm.endswith(".arpa"):
+            lm = NGramLM.from_arpa(args.lm, feat.token_to_index,
+                                   feat.num_classes)
+        else:
+            lm = NGramLM.load(args.lm)
     else:
         lists = args.lists
         if not lists:
@@ -106,6 +113,14 @@ def main(argv=None):
               f"{len(seqs)} lines -> {args.output} "
               f"(table cap {len(lm.key1)}, probes {lm.n_probe}, "
               f"train ppl {lm.perplexity(seqs[:2000]):.2f})")
+
+    if args.arpa_out:
+        # vocab index -> token string; the appended CTC blank has no
+        # token — it never appears in transcripts, label it <blank>
+        id_to_token = [feat.index_to_token.get(i, "<blank>")
+                       for i in range(feat.num_classes)]
+        lm.to_arpa(args.arpa_out, id_to_token)
+        print(f"ARPA export -> {args.arpa_out}")
 
     if args.eval_lists:
         seqs = _to_ids(_lines(args.eval_lists), args.unit, phone_f, char_f,

@@ -33,7 +33,14 @@ class ASREngine:
     def __init__(self, model: ConformerCTC, variables: dict,
                  chunk_seconds: float = 0.5, sample_rate: int = 16000,
                  text_featurizer=None, phone_featurizer=None,
-                 pad_chunks: int = 4):
+                 pad_chunks: int = 4, beam_width: int = 0,
+                 ngram_lm=None, lm_weight: float = 0.3):
+        """``beam_width > 0`` switches the phone decode from greedy to the
+        on-chip CTC prefix beam (ops/beam.py), optionally with n-gram
+        shallow fusion (``ngram_lm``: a ``utils.ngram_lm.DeviceNGramLM``)
+        — the serving-path use of the reference's ctc_decoders+KenLM
+        externals, which its own active serving never wired up
+        (Inference/PythonInference/asr/src/asr.py:63-94 is greedy)."""
         self.model = model
         self.variables = variables
         self.sample_rate = sample_rate
@@ -50,16 +57,41 @@ class ASREngine:
         self._encode = jax.jit(
             lambda v, wav: model.apply(v, wav, method=ConformerCTC.encode))
 
-        @functools.partial(jax.jit, static_argnames=())
-        def _decode(v, enc, length):
-            logits = model.apply(v, enc, method=ConformerCTC.ctc_logits)
-            ids, lens = ctc_greedy_decode(logits, length,
-                                          blank_id=self.blank)
-            padded = jnp.concatenate(
-                [ids, jnp.zeros((ids.shape[0], 10), ids.dtype)], axis=1)
-            char_logits = model.apply(v, padded, enc,
-                                      method=ConformerCTC.translate)
-            return ids, lens, jnp.argmax(char_logits, -1).astype(jnp.int32)
+        if beam_width and beam_width > 0:
+            from tensorflowasr_tpu.ops.beam import ctc_beam_search_decode
+
+            n_phone = model.num_phone_classes
+
+            @functools.partial(jax.jit, static_argnames=())
+            def _decode(v, enc, length):
+                logits = model.apply(v, enc,
+                                     method=ConformerCTC.ctc_logits)
+                prefixes, lens, _ = ctc_beam_search_decode(
+                    logits, length, blank_id=self.blank,
+                    beam_width=beam_width, prune_k=min(16, n_phone),
+                    ngram_lm=ngram_lm, lm_weight=lm_weight)
+                ids, lens = prefixes[:, 0], lens[:, 0]
+                padded = jnp.concatenate(
+                    [ids, jnp.zeros((ids.shape[0], 10), ids.dtype)],
+                    axis=1)
+                char_logits = model.apply(v, padded, enc,
+                                          method=ConformerCTC.translate)
+                return ids, lens, jnp.argmax(char_logits,
+                                             -1).astype(jnp.int32)
+        else:
+            @functools.partial(jax.jit, static_argnames=())
+            def _decode(v, enc, length):
+                logits = model.apply(v, enc,
+                                     method=ConformerCTC.ctc_logits)
+                ids, lens = ctc_greedy_decode(logits, length,
+                                              blank_id=self.blank)
+                padded = jnp.concatenate(
+                    [ids, jnp.zeros((ids.shape[0], 10), ids.dtype)],
+                    axis=1)
+                char_logits = model.apply(v, padded, enc,
+                                          method=ConformerCTC.translate)
+                return ids, lens, jnp.argmax(char_logits,
+                                             -1).astype(jnp.int32)
 
         self._decode = _decode
 

@@ -29,9 +29,11 @@ predicted.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterable, List, Sequence, Tuple
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+_LN10 = float(np.log(10.0))  # ARPA stores log10; we store natural log
 
 _P1 = 2654435761          # Knuth multiplicative; same spirit as ops/beam.py
 _P2 = 40503
@@ -65,6 +67,10 @@ class NGramLM:
     key2: np.ndarray              # [cap] uint32
     val: np.ndarray               # [cap] float32
     n_probe: int                  # static probe count for lookups
+    # raw ("p"/"b", token-tuple) -> natural-log value entries. The hash
+    # table above cannot be ENUMERATED (keys are hashes), so ARPA export
+    # and exact save/load round-trip keep the explicit entries too.
+    raw: Optional[Dict[Tuple[str, Tuple[int, ...]], float]] = None
 
     # -- construction -------------------------------------------------------
     @property
@@ -113,17 +119,154 @@ class NGramLM:
 
     # -- io -----------------------------------------------------------------
     def save(self, path: str) -> None:
-        np.savez_compressed(
-            path, order=self.order, vocab_size=self.vocab_size,
-            uni_logp=self.uni_logp, key1=self.key1, key2=self.key2,
-            val=self.val, n_probe=self.n_probe)
+        arrays = dict(order=self.order, vocab_size=self.vocab_size,
+                      uni_logp=self.uni_logp, key1=self.key1,
+                      key2=self.key2, val=self.val, n_probe=self.n_probe)
+        if self.raw is not None:
+            # explicit entries, grouped by (kind, tuple length): tokens
+            # [N, L] int32 + values [N] f32 — enables to_arpa after load
+            groups: Dict[Tuple[str, int], List] = {}
+            for (kind, toks), v in self.raw.items():
+                groups.setdefault((kind, len(toks)), []).append(
+                    (list(toks), v))
+            for (kind, length), items in groups.items():
+                toks = np.asarray([t for t, _ in items], np.int32)
+                # float64: ARPA re-export after load stays byte-identical
+                vals = np.asarray([v for _, v in items], np.float64)
+                arrays[f"raw_{kind}{length}_toks"] = toks
+                arrays[f"raw_{kind}{length}_vals"] = vals
+        np.savez_compressed(path, **arrays)
 
     @classmethod
     def load(cls, path: str) -> "NGramLM":
         z = np.load(path)
+        raw = None
+        for name in z.files:
+            if not name.startswith("raw_") or not name.endswith("_toks"):
+                continue
+            if raw is None:
+                raw = {}
+            kind = name[4]                       # "p" or "b"
+            toks = z[name]
+            vals = z[name[:-5] + "_vals"]
+            for t, v in zip(toks, vals):
+                raw[(kind, tuple(int(x) for x in t))] = float(v)
         return cls(order=int(z["order"]), vocab_size=int(z["vocab_size"]),
                    uni_logp=z["uni_logp"], key1=z["key1"], key2=z["key2"],
-                   val=z["val"], n_probe=int(z["n_probe"]))
+                   val=z["val"], n_probe=int(z["n_probe"]), raw=raw)
+
+    # -- ARPA interop (the KenLM text format the reference's scorer.cpp
+    # consumes; externals/ctc_decoders.zip) --------------------------------
+    def to_arpa(self, path: str, id_to_token: Sequence[str]) -> None:
+        """Write standard ARPA text (log10). Requires ``raw`` entries
+        (present when built by train_ngram_lm / from_arpa, and preserved
+        by save/load)."""
+        if self.raw is None:
+            raise ValueError("to_arpa needs the raw n-gram entries; this "
+                             "LM was built without them")
+
+        def tok(i: int) -> str:
+            if i == self.bos:
+                return "<s>"
+            t = id_to_token[i]
+            # ARPA is whitespace-delimited; the space token round-trips
+            # through its vocab-file spelling (utils/text.py [SPACE])
+            return "[SPACE]" if t == " " else t
+
+        # group p-entries per order; attach backoff to the matching
+        # context entry of the lower order
+        per_order: Dict[int, List[Tuple[Tuple[int, ...], float]]] = {}
+        for (kind, toks), v in self.raw.items():
+            if kind == "p":
+                per_order.setdefault(len(toks), []).append((toks, v))
+        lines = ["\\data\\"]
+        counts = {1: self.vocab_size + 1}        # + <s>
+        for o in range(2, self.order + 1):
+            counts[o] = len(per_order.get(o, []))
+        for o in range(1, self.order + 1):
+            lines.append(f"ngram {o}={counts[o]}")
+        lines.append("")
+        # unigrams: every vocab token (+ <s> with the KenLM convention of
+        # -99) with its backoff weight where one exists
+        lines.append("\\1-grams:")
+        for i in list(range(self.vocab_size)) + [self.bos]:
+            lp = -99.0 if i == self.bos else float(self.uni_logp[i]) / _LN10
+            bow = self.raw.get(("b", (i,)))
+            tail = f"\t{bow / _LN10:.6f}" if bow is not None else ""
+            lines.append(f"{lp:.6f}\t{tok(i)}{tail}")
+        for o in range(2, self.order + 1):
+            lines.append("")
+            lines.append(f"\\{o}-grams:")
+            for toks, v in sorted(per_order.get(o, [])):
+                bow = self.raw.get(("b", toks)) if o < self.order else None
+                tail = f"\t{bow / _LN10:.6f}" if bow is not None else ""
+                words = " ".join(tok(t) for t in toks)
+                lines.append(f"{v / _LN10:.6f}\t{words}{tail}")
+        lines += ["", "\\end\\", ""]
+        with open(path, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines))
+
+    @classmethod
+    def from_arpa(cls, path: str, token_to_id: Dict[str, int],
+                  vocab_size: int) -> "NGramLM":
+        """Load a (KenLM-produced) ARPA text file into on-chip form.
+
+        ``token_to_id`` maps ARPA tokens to our ids (e.g. the phone
+        featurizer's map); "<s>" maps to the BOS sentinel (== vocab_size);
+        entries containing "</s>"/"<unk>"/unknown tokens are skipped (the
+        decoder never predicts them)."""
+        order = 0
+        section = 0                               # current n-gram order
+        uni_logp = np.full((vocab_size,), -20.0, np.float32)
+        entries: Dict[Tuple[str, Tuple[int, ...]], float] = {}
+
+        def to_id(w: str) -> Optional[int]:
+            if w == "<s>":
+                return vocab_size
+            if w == "[SPACE]":          # vocab-file spelling of " "
+                w = " "
+            i = token_to_id.get(w)
+            return i if i is not None and 0 <= i < vocab_size else None
+
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line or line == "\\end\\":
+                    continue
+                if line == "\\data\\":
+                    continue
+                if line.startswith("ngram "):
+                    order = max(order, int(line.split("=")[0].split()[1]))
+                    continue
+                if line.endswith("-grams:"):
+                    section = int(line[1:].split("-")[0])
+                    continue
+                if section == 0:
+                    continue
+                parts = line.split()
+                if len(parts) < section + 1:
+                    continue              # malformed/blank-token line
+                lp = float(parts[0]) * _LN10
+                has_bow = len(parts) == section + 2
+                words = parts[1:1 + section]
+                bow = float(parts[-1]) * _LN10 if has_bow else None
+                ids = [to_id(w) for w in words]
+                if any(i is None for i in ids):
+                    continue
+                toks = tuple(ids)
+                if section == 1:
+                    if toks[0] < vocab_size:
+                        uni_logp[toks[0]] = lp
+                else:
+                    entries[("p", toks)] = lp
+                if bow is not None:
+                    entries[("b", toks)] = bow
+        if not 2 <= order <= 4:
+            raise ValueError(f"ARPA order must be 2..4, got {order}")
+        key1, key2, val, n_probe = _build_table(entries)
+        return cls(order=order, vocab_size=vocab_size, uni_logp=uni_logp,
+                   key1=key1, key2=key2, val=val, n_probe=n_probe,
+                   raw=entries)
 
 
 def _build_table(entries: Dict[Tuple[str, Tuple[int, ...]], float]
@@ -249,7 +392,178 @@ def train_ngram_lm(id_sequences: Iterable[Sequence[int]], vocab_size: int,
 
     key1, key2, val, n_probe = _build_table(entries)
     return NGramLM(order=order, vocab_size=vocab_size, uni_logp=uni_logp,
-                   key1=key1, key2=key2, val=val, n_probe=n_probe)
+                   key1=key1, key2=key2, val=val, n_probe=n_probe,
+                   raw=entries)
+
+
+def ngram_lm_from_weighted_sequences(
+        weighted_sequences: Iterable[Tuple[Sequence[int], float]],
+        vocab_size: int, order: int = 3,
+        discount: float = 0.75) -> NGramLM:
+    """Backoff LM from WEIGHTED token sequences (absolute discounting with
+    interpolation on weighted counts at every order — continuation counts
+    are not well-defined for fractional weights).
+
+    This is the char-normalization path for word-level LMs
+    (``char_lm_from_word_arpa``): each word n-gram contributes its char
+    expansion weighted by its probability."""
+    if not 2 <= order <= 4:
+        raise ValueError(f"order must be 2..4, got {order}")
+    bos = vocab_size
+    cnt: List[Dict[Tuple[int, ...], float]] = [dict()
+                                               for _ in range(order + 1)]
+    for seq, w in weighted_sequences:
+        toks = [bos] * (order - 1) + [int(t) for t in seq]
+        for i in range(order - 1, len(toks)):
+            for o in range(1, order + 1):
+                if i - o + 1 < 0:
+                    continue
+                g = tuple(toks[i - o + 1:i + 1])
+                cnt[o][g] = cnt[o].get(g, 0.0) + w
+
+    uni = np.full((vocab_size,), 1e-6, np.float64)   # floor: every token
+    for (t,), c in cnt[1].items():
+        if 0 <= t < vocab_size:
+            uni[t] += c
+    uni_logp = np.log(uni / uni.sum()).astype(np.float32)
+
+    ctx_totals: List[Dict[Tuple[int, ...], float]] = \
+        [dict() for _ in range(order + 1)]
+    ctx_distinct: List[Dict[Tuple[int, ...], int]] = \
+        [dict() for _ in range(order + 1)]
+    for o in range(2, order + 1):
+        for g, c in cnt[o].items():
+            ctx = g[:-1]
+            ctx_totals[o][ctx] = ctx_totals[o].get(ctx, 0.0) + c
+            ctx_distinct[o][ctx] = ctx_distinct[o].get(ctx, 0) + 1
+
+    def p_interp(tokens: Tuple[int, ...], memo: Dict) -> float:
+        o = len(tokens)
+        if o == 1:
+            t = tokens[0]
+            return float(np.exp(uni_logp[t])) if 0 <= t < vocab_size \
+                else 1e-12
+        if tokens in memo:
+            return memo[tokens]
+        c = tokens[:-1]
+        total = ctx_totals[o].get(c, 0.0)
+        if total > 0:
+            # discount scaled to the context's count magnitude so tiny
+            # fractional weights are not discounted to zero; the SAME
+            # per-context lambda is stored as its backoff weight below
+            d = discount * total / (total + ctx_distinct[o][c])
+            lam = (d * ctx_distinct[o][c]) / total
+            p = max(cnt[o].get(tokens, 0.0) - d, 0.0) / total + \
+                lam * p_interp(tokens[1:], memo)
+        else:
+            p = p_interp(tokens[1:], memo)
+        memo[tokens] = p
+        return p
+
+    entries: Dict[Tuple[str, Tuple[int, ...]], float] = {}
+    memo: Dict = {}
+    for o in range(2, order + 1):
+        for g in cnt[o]:
+            entries[("p", g)] = float(np.log(max(p_interp(g, memo), 1e-12)))
+    for o in range(2, order + 1):
+        for c, total in ctx_totals[o].items():
+            d = discount * total / (total + ctx_distinct[o][c])
+            lam = d * ctx_distinct[o][c] / total
+            entries[("b", c)] = float(np.log(min(max(lam, 1e-12), 1.0)))
+    key1, key2, val, n_probe = _build_table(entries)
+    return NGramLM(order=order, vocab_size=vocab_size, uni_logp=uni_logp,
+                   key1=key1, key2=key2, val=val, n_probe=n_probe,
+                   raw=entries)
+
+
+def unit_lm_from_word_arpa(path: str, word_to_units, vocab_size: int,
+                           order: int = 3) -> NGramLM:
+    """Unit-normalized WORD LM: expand each n-gram of a word-level
+    (KenLM) ARPA into its decode-unit id sequence via ``word_to_units``
+    (word str -> List[int] or None if uncovered), weighted by the
+    n-gram's probability, and fit a unit-level backoff LM on the
+    weighted counts.
+
+    This is the on-chip answer to the reference scorer's word trie
+    (externals/ctc_decoders.zip path_trie.cpp scoring completed words
+    over a char CTC): multi-unit lexical structure shapes the unit
+    transition scores, and the result fuses through the exact same
+    ``score_candidates`` machinery as any unit LM. For our phone beam
+    the words are pinyin syllables (units = phones); for a char decode
+    they are multi-char words (units = chars)."""
+    highest: Dict[int, List[Tuple[List[str], float]]] = {}
+    section = 0
+    max_order = 0
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith("ngram "):
+                max_order = max(max_order,
+                                int(line.split("=")[0].split()[1]))
+                continue
+            if line.endswith("-grams:"):
+                section = int(line[1:].split("-")[0])
+                continue
+            if section == 0 or not line or line.startswith("\\"):
+                continue
+            parts = line.split()
+            words = parts[1:1 + section]
+            if any(w in ("<s>", "</s>", "<unk>") for w in words):
+                continue
+            highest.setdefault(section, []).append(
+                (words, 10.0 ** float(parts[0])))
+    use = highest.get(max_order) or highest.get(max(highest))
+    if not use:
+        raise ValueError(f"no usable n-grams in {path}")
+
+    weighted = []
+    for words, w in use:
+        units: List[int] = []
+        ok = True
+        for word in words:
+            u = word_to_units(word)
+            if u is None:
+                ok = False
+                break
+            units.extend(int(i) for i in u)
+        if ok and units:
+            weighted.append((units, w))
+    if not weighted:
+        raise ValueError("no ARPA word covered by the unit vocabulary")
+    return ngram_lm_from_weighted_sequences(weighted, vocab_size,
+                                            order=order)
+
+
+def char_lm_from_word_arpa(path: str, char_to_id: Dict[str, int],
+                           vocab_size: int, order: int = 3) -> NGramLM:
+    """``unit_lm_from_word_arpa`` for char units (word = char string)."""
+
+    def to_units(word: str) -> Optional[List[int]]:
+        out = []
+        for ch in word:
+            i = char_to_id.get(ch)
+            if i is None or not 0 <= i < vocab_size:
+                return None
+            out.append(i)
+        return out
+
+    return unit_lm_from_word_arpa(path, to_units, vocab_size, order=order)
+
+
+def estimate_bigram_lm(id_sequences: Iterable[Sequence[int]],
+                       vocab_size: int, add_k: float = 0.5) -> np.ndarray:
+    """DENSE [V, V] add-k token bigram ``log p(cur | prev)`` (row 0 doubles
+    as sentence start) — the lightweight fusion table consumed directly by
+    ``ops.beam.ctc_beam_search_decode(lm_logp=...)``. For anything beyond
+    a bigram use ``train_ngram_lm`` (hash-table backoff form)."""
+    counts = np.full((vocab_size, vocab_size), add_k, np.float64)
+    for seq in id_sequences:
+        prev = 0
+        for tok in seq:
+            counts[prev, int(tok)] += 1.0
+            prev = int(tok)
+    probs = counts / counts.sum(axis=1, keepdims=True)
+    return np.log(probs).astype(np.float32)
 
 
 # ---------------------------------------------------------------------------

@@ -67,9 +67,8 @@ def test_chunk_stream_session_matches_offline():
             + len(session._provisional_ids)) == n_picked
 
 
-def test_bigram_lm_roundtrip(tmp_path):
-    from tensorflowasr_tpu.utils.lm import (
-        estimate_bigram_lm, load_lm, perplexity, save_lm)
+def test_bigram_lm_table(tmp_path):
+    from tensorflowasr_tpu.utils.ngram_lm import estimate_bigram_lm
 
     seqs = [[1, 2, 3], [1, 2, 4], [1, 2, 3]]
     lm = estimate_bigram_lm(seqs, vocab_size=6, add_k=0.1)
@@ -78,9 +77,15 @@ def test_bigram_lm_roundtrip(tmp_path):
     assert np.argmax(lm[1]) == 2
     # rows are normalized
     np.testing.assert_allclose(np.exp(lm).sum(1), 1.0, rtol=1e-5)
-    p_train = perplexity(lm, seqs)
-    p_rand = perplexity(lm, [[5, 5, 5]])
-    assert p_train < p_rand
-    save_lm(str(tmp_path / "lm.npz"), lm)
-    lm2 = load_lm(str(tmp_path / "lm.npz"))
-    np.testing.assert_array_equal(lm, lm2)
+
+    def ppl(table, sequences):
+        total, n = 0.0, 0
+        for seq in sequences:
+            prev = 0
+            for tok in seq:
+                total += float(table[prev, int(tok)])
+                prev = int(tok)
+                n += 1
+        return float(np.exp(-total / max(n, 1)))
+
+    assert ppl(lm, seqs) < ppl(lm, [[5, 5, 5]])
