@@ -220,27 +220,56 @@ class SignalHz:
 
 
 class SignalRIR:
-    def __init__(self, sample_rate: int):
+    """Room reverb. Uses the optional ``rir_generator`` (image method)
+    when installed; otherwise synthesizes its own impulse response —
+    sparse early reflections plus an exponentially-decaying diffuse tail
+    (the textbook RIR shape) — so the reverb augmenter always works and
+    is exercised in CI without the optional dependency."""
+
+    def __init__(self, sample_rate: int,
+                 reverberation_time: float = 0.4, nsample: int = 4096):
         try:
             import rir_generator  # type: ignore
-        except ImportError as e:
-            raise ImportError(
-                "SignalRIR needs the optional 'rir_generator' package"
-            ) from e
-        self.rir = rir_generator
+            self.rir = rir_generator
+        except ImportError:
+            self.rir = None
         self.sp = sample_rate
+        self.rt = reverberation_time
+        self.nsample = nsample
 
     def _pos(self, x, y, z):
         return [random.randrange(x * 10) / 10.0,
                 random.randrange(y * 10) / 10.0,
                 random.randrange(z * 10) / 10.0]
 
+    def _impulse_response(self) -> np.ndarray:
+        if self.rir is not None:
+            h = self.rir.generate(c=340, fs=self.sp, r=self._pos(5, 4, 6),
+                                  s=self._pos(5, 4, 6), L=[5, 4, 6],
+                                  reverberation_time=self.rt,
+                                  nsample=self.nsample)
+            return np.asarray(h, np.float32).mean(axis=1)
+        # synthetic: direct path + a handful of early reflections at
+        # random small delays, then diffuse noise under a T60 envelope
+        n = self.nsample
+        h = np.zeros(n, np.float32)
+        h[0] = 1.0
+        for _ in range(8):
+            d = random.randrange(int(0.005 * self.sp),
+                                 int(0.08 * self.sp))
+            h[min(d, n - 1)] += random.uniform(0.1, 0.5) * \
+                (1 if random.random() < 0.5 else -1)
+        decay = np.exp(-6.908 * np.arange(n) / (self.rt * self.sp))
+        h += 0.25 * np.random.randn(n).astype(np.float32) * decay
+        return h
+
     def augment(self, wav: np.ndarray) -> np.ndarray:
-        h = self.rir.generate(c=340, fs=self.sp, r=self._pos(5, 4, 6),
-                              s=self._pos(5, 4, 6), L=[5, 4, 6],
-                              reverberation_time=0.4, nsample=4096)
-        out = sps.convolve(h[:, None, :], wav[:, None, None])
-        return out.mean(axis=-1).flatten()[:len(wav)]
+        h = self._impulse_response()
+        out = sps.fftconvolve(np.asarray(wav, np.float32), h)[:len(wav)]
+        # keep the original peak so the int16 quantize step doesn't clip
+        peak_in = np.abs(wav).max() or 1.0
+        peak_out = np.abs(out).max() or 1.0
+        return (out * (peak_in / peak_out)).astype(np.float32)
 
 
 class SignalVC:
