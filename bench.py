@@ -429,6 +429,28 @@ print("ok")
     _emit("native_chunk_stream_rtf_1core_int8", rtf, "rtf", 0.1 / rtf)
 
 
+def bench_headtohead():
+    """cer_vs_reference_ratio — the committed head-to-head artifact
+    (examples/headtohead/RESULTS.json: both frameworks trained+evaluated
+    on the identical synthetic corpus, protocol in the README there).
+    Reading the artifact instead of retraining keeps bench minutes-long;
+    one command per side reproduces it. value = our phone CER;
+    vs_baseline = reference CER / max(ours, 1e-4) (>1 means we beat the
+    reference on identical data)."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "examples", "headtohead", "RESULTS.json")
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        r = json.load(f)
+    ours = float(r["phone_cer_ours"])
+    ref = float(r["phone_cer_reference"])
+    _emit("headtohead_phone_cer", ours, "cer",
+          ref / max(ours, 1e-4))
+
+
 def main():
     import faulthandler
     import os
@@ -450,7 +472,7 @@ def main():
           flush=True)
     for fn in (bench_offline_inference, bench_chunk_stream,
                bench_stream_capacity, bench_train_step,
-               bench_native_engines):
+               bench_native_engines, bench_headtohead):
         t0 = time.perf_counter()
         print(f"bench: {fn.__name__} ...", file=sys.stderr, flush=True)
         try:

@@ -164,8 +164,13 @@ def test_chunk_engine_vad_gating(cpp_build, tmp_path):
          str(wav_path), "--quiet", "--vad", vad_on],
         capture_output=True, text=True, timeout=300)
     assert gated.returncode == 0, gated.stderr
-    # always-voiced gating never interrupts: identical final output
-    assert gated.stdout == base.stdout
+    # always-voiced gating never interrupts: identical final output.
+    # [decode_seconds] is wall-clock metadata, not decode output — drop it.
+    def _decode_lines(out):
+        return [ln for ln in out.splitlines()
+                if not ln.startswith("[decode_seconds]")]
+
+    assert _decode_lines(gated.stdout) == _decode_lines(base.stdout)
 
     silent = subprocess.run(
         [os.path.join(cpp_build, "asr_chunk"), str(artifact),
