@@ -35,6 +35,11 @@ def write_configs(args):
     data["speech_config"]["eval_list"] = os.path.join(args.work_dir,
                                                       args.eval_list)
     data["speech_config"]["wav_max_duration"] = args.wav_max_duration
+    if args.streaming:
+        # block-streaming family (StreamingConformerCTC): chunks folded
+        # into the batch axis, reference conformer_blocks.py:567-614
+        data["speech_config"]["streaming"] = True
+        data["speech_config"]["streaming_bucket"] = args.streaming_bucket
     data["augments_config"] = {"spec_aug": {"active": False}}
     data["optimizer_config"] = {
         "lr": args.lr, "beta1": 0.9, "beta2": 0.98, "epsilon": 1e-6,
@@ -86,6 +91,10 @@ def main(argv=None):
     p.add_argument("--kernel_size", type=int, default=16)
     p.add_argument("--dropout", type=float, default=0.1)
     p.add_argument("--wav_max_duration", type=float, default=7.0)
+    p.add_argument("--streaming", action="store_true",
+                   help="train the block-streaming family "
+                        "(StreamingConformerCTC) instead of offline")
+    p.add_argument("--streaming_bucket", type=float, default=0.5)
     p.add_argument("--cpu", action="store_true",
                    help="force JAX_PLATFORMS=cpu (default: whatever "
                         "backend the session has — TPU here; CER is "
@@ -111,6 +120,7 @@ def main(argv=None):
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     result = json.loads(line)
     result["framework"] = "ours"
+    result["model_family"] = "streaming" if args.streaming else "offline"
     result["total_steps"] = args.total_steps
     result["batch"] = args.batch
     with open(os.path.join(args.out_dir, "result.json"), "w") as f:

@@ -257,7 +257,7 @@ class ChunkMHSA(nn.Module):
         t = x.shape[1]
         mask = chunk_band_mask(t, self.win_front, self.win_back)[None, None]
         y = self.ln(x)
-        y = self.mha(y, y, y, mask=mask)
+        y = self.mha(y, inputs_k=y, inputs_v=y, mask=mask)
         y = self.do(y, deterministic=not training)
         return x + y
 

@@ -98,7 +98,7 @@ class MHSAModule(nn.Module):
             out_features=x.shape[-1],
             dtype=self.dtype,
             name="mha",
-        )(y, y, y, mask=mask)
+        )(y, inputs_k=y, inputs_v=y, mask=mask)
         y = nn.Dropout(self.dropout, deterministic=not training)(y)
         return x + y
 
@@ -261,7 +261,7 @@ class RMHSAModule(nn.Module):
             out_features=x.shape[-1],
             dtype=self.dtype,
             name="mha",
-        )(y, enc, enc)
+        )(y, inputs_k=enc, inputs_v=enc)
         y = nn.Dropout(self.dropout, deterministic=not training)(y)
         return x + y
 

@@ -70,7 +70,7 @@ class EncoderLayer(nn.Module):
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, qkv_features=self.d_model,
             out_features=self.d_model, dtype=self.dtype, name="mha",
-        )(x, x, x, mask=mask)
+        )(x, inputs_k=x, inputs_v=x, mask=mask)
         attn = nn.Dropout(self.dropout, deterministic=not training)(attn)
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="ln1")(x + attn)
         y = nn.Dense(self.dff, dtype=self.dtype, name="ffn1")(x)

@@ -115,7 +115,7 @@ def power_spectrogram_pallas(wav: jnp.ndarray, cfg: fe.LogMelFrontendConfig,
                                        jnp.float32),
         grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # wav rows (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # wav rows (HBM)
             pl.BlockSpec((n_chunks, hop_pad, 2 * n_freq),
                          lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -17,10 +17,14 @@ Usage (foreground is fine for B<=128; run in background for the sweep):
 """
 
 import argparse
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 
 import numpy as np
 
@@ -72,10 +76,12 @@ def main():
     def timed(fn, *a, chain=None, iters=args.iters, reps=args.reps):
         """Best-of timing; ``chain`` threads state through iterations and
         a scalar fetch drains the queue (block_until_ready lies over the
-        tunnel)."""
+        tunnel). State threads across reps too — the train step DONATES
+        its state argument, so resetting to the initial state would reuse
+        a deleted buffer."""
         best = float("inf")
+        state = a[0]
         for _ in range(reps):
-            state = a[0]
             t0 = time.perf_counter()
             for _ in range(iters):
                 out = fn(state, *a[1:])
@@ -115,25 +121,29 @@ def main():
 
     for b in [int(x) for x in args.batches.split(",")]:
         batch = make_batch(b)
-        state = ASRTrainState.create(apply_fn=model.apply,
-                                     params=variables["params"], tx=tx,
-                                     batch_stats=variables.get("batch_stats"))
+        # fresh COPIES: the donated step deletes the state's buffers, and
+        # `variables` must stay alive for fwd_only/frontend_only
+        state = ASRTrainState.create(
+            apply_fn=model.apply,
+            params=jax.tree.map(jnp.copy, variables["params"]), tx=tx,
+            batch_stats=jax.tree.map(jnp.copy,
+                                     variables.get("batch_stats")))
         step = make_train_step(model, tx, blank_id=blank, donate=True)
 
-        lowered = step.lower(state, batch, rngk)
-        compiled = lowered.compile()
+        # AOT-compile once; the compiled executable is also what we time
+        # (calling the jitted wrapper would trigger a second compile)
+        compiled = step.lower(state, batch, rngk).compile()
         mem = compiled.memory_analysis()
         cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0)) if cost else 0.0
 
-        # run the compiled step via the jitted wrapper (donation intact)
-        state, metrics = step(state, batch, rngk)
+        state, metrics = compiled(state, batch, rngk)
         float(metrics["train_loss"])
 
         t_step = timed(
-            step, state, batch, rngk,
+            compiled, state, batch, rngk,
             chain=lambda out: (out[0], out[1]["train_loss"]))
 
         # forward only
