@@ -46,8 +46,8 @@ speech_config:
   eval_list: '{args.work_dir}/{args.eval_list}'
   wav_max_duration: {args.wav_max_duration}
   only_chinese: True
-  streaming: False
-  streaming_bucket: 0.5
+  streaming: {args.streaming}
+  streaming_bucket: {args.streaming_bucket}
 
 inp_config:
   vocabulary: '{args.work_dir}/phones.txt'
@@ -134,6 +134,10 @@ def main(argv=None):
     p.add_argument("--kernel_size", type=int, default=16)
     p.add_argument("--dropout", type=float, default=0.1)
     p.add_argument("--wav_max_duration", type=float, default=7.0)
+    p.add_argument("--streaming", action="store_true",
+                   help="train the reference's block-streaming family "
+                        "(StreamingConformerCTC)")
+    p.add_argument("--streaming_bucket", type=float, default=0.5)
     args = p.parse_args(argv)
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -196,6 +200,7 @@ def main(argv=None):
     result = {k: float(v.result().numpy())
               for k, v in tester.eval_metrics.items()}
     result["framework"] = "reference"
+    result["model_family"] = "streaming" if args.streaming else "offline"
     result["total_steps"] = args.total_steps
     result["batch"] = args.batch
     result["params"] = int(sum(

@@ -85,6 +85,10 @@ class ConformerConfig:
     #   (stacked [L, ...] params; ~L-fold faster XLA compiles — use for
     #   deep stacks / the 17-minute fused streaming compile; param trees
     #   are NOT checkpoint-compatible with the unrolled layout)
+    remat_blocks: bool = False               # jax.checkpoint each encoder
+    #   block: backward recomputes block activations instead of storing
+    #   them — removes the B>128 HBM activation cliff at ~1/3 extra
+    #   backward FLOPs (docs/train_step_profile.md). Unrolled layout only.
     scan_unroll: int = 1                     # lax.scan unroll factor: the
     #   scan backward pays a heavy stacked-grad accumulation on TPU
     #   (70 -> 39 ms fwd+bwd for the 13-block stack when fully unrolled);
@@ -147,6 +151,7 @@ class ConformerConfig:
             streaming_bucket=g(sc, "streaming_bucket", 0.5),
             scan_layers=g(mc, "scan_layers", False),
             scan_unroll=g(mc, "scan_unroll", 1),
+            remat_blocks=g(mc, "remat_blocks", False),
         )
 
 
@@ -161,8 +166,11 @@ def _encoder_blocks(c: "ConformerConfig", x, training):
             num_heads=c.num_heads, kernel_size=c.kernel_size,
             dtype=c.dtype, unroll=c.scan_unroll,
             name="conformer_blocks")(x, training)
+    # static_argnums counts __call__ args with self at 0: training is 2
+    block_cls = (nn.remat(ConformerBlock, static_argnums=(2,))
+                 if c.remat_blocks else ConformerBlock)
     for i in range(c.num_blocks):
-        x = ConformerBlock(
+        x = block_cls(
             input_dim=c.dmodel, dropout=c.dropout,
             fc_factor=c.fc_factor, head_size=c.head_size,
             num_heads=c.num_heads, kernel_size=c.kernel_size,

@@ -52,4 +52,13 @@ def make_optimizer(optimizer_config: Optional[dict] = None,
     if grad_clip_norm:
         txs.append(optax.clip_by_global_norm(grad_clip_norm))
     txs.append(optax.adam(lr, b1=b1, b2=b2, eps=eps))
-    return optax.chain(*txs)
+    tx = optax.chain(*txs)
+    # optimizer_config.grad_accum_steps: accumulate k micro-batch grads
+    # before applying one update (optax.MultiSteps). The effective batch
+    # is k * batch_size without the B>128 HBM-remat cliff
+    # (docs/train_step_profile.md). NOTE: changes the optimizer state
+    # tree — checkpoints are not interchangeable across k values.
+    k = int(oc.get("grad_accum_steps", 1))
+    if k > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=k)
+    return tx

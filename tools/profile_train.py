@@ -35,6 +35,10 @@ def main():
     p.add_argument("--seconds", type=int, default=8)
     p.add_argument("--reps", type=int, default=6)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--remat", action="store_true",
+                   help="profile with model_config.remat_blocks: true")
+    p.add_argument("--skip_ablations", action="store_true",
+                   help="time only the full step (skip fwd/frontend)")
     args = p.parse_args()
 
     import jax
@@ -49,7 +53,8 @@ def main():
     print(f"devices: {jax.devices()}", flush=True)
 
     n_phone, n_char = 231, 9161
-    cfg = ConformerConfig(dtype_str="bfloat16", scan_layers=False)
+    cfg = ConformerConfig(dtype_str="bfloat16", scan_layers=False,
+                          remat_blocks=args.remat)
     model = ConformerCTC(cfg, n_phone, n_char)
     sr = 16000
     u_phone, u_char = 64, 32
@@ -146,16 +151,19 @@ def main():
             compiled, state, batch, rngk,
             chain=lambda out: (out[0], out[1]["train_loss"]))
 
-        # forward only
-        fb = fwd_only(variables["params"], batch)
-        float(fb)
-        t_fwd = timed(lambda _s, bb: fwd_only(variables["params"], bb),
-                      None, batch)
+        if args.skip_ablations:
+            t_fwd = t_fe = float("nan")
+        else:
+            # forward only
+            fb = fwd_only(variables["params"], batch)
+            float(fb)
+            t_fwd = timed(lambda _s, bb: fwd_only(variables["params"], bb),
+                          None, batch)
 
-        # frontend only
-        s = frontend_only(batch["wav"])
-        float(s)
-        t_fe = timed(lambda _s, w: frontend_only(w), None, batch["wav"])
+            # frontend only
+            s = frontend_only(batch["wav"])
+            float(s)
+            t_fe = timed(lambda _s, w: frontend_only(w), None, batch["wav"])
 
         audio = b * args.seconds
         print(f"B={b:4d} step {t_step*1e3:7.1f} ms  "
