@@ -210,9 +210,13 @@ def bench_stream_capacity():
     n_phone, n_char = 231, 9161
     model = ChunkConformer(cfg, n_phone, n_char)
 
-    # measured pool scaling on v5e: S=64 -> 2.9k, S=128 -> 4.2k,
-    # S=256 -> 5.2k real-time streams/chip (tick 7.9 ms << the 160 ms
-    # deadline); serve at the pool size your latency budget allows
+    # measured pool scaling on v5e (tools/capacity_sweep.py, round 3):
+    # S=64 -> 2.9k, 128 -> 4.2k, 256 -> 5.8k, 384 -> 5.9k, 512 -> 5.6k,
+    # 768 -> 5.9k, 1024 -> 5.5k streams/chip — capacity PLATEAUS at
+    # ~5.9k from S=256 on (per-tick compute scales linearly once the
+    # pool amortizes dispatch), while per-stream RTF keeps growing
+    # (0.044 at 256, 0.065 at 384). S=256 is the largest pool that
+    # holds the <0.05/stream north star (BASELINE.md).
     n_streams = 256
     rng = np.random.default_rng(0)
     chunks = jnp.asarray(rng.standard_normal(
