@@ -449,10 +449,19 @@ def bench_headtohead():
         return
     with open(path) as f:
         r = json.load(f)
+
+    def ratio(ref, ours, eps=1e-4):
+        # both at the floor (e.g. 0.0 vs 0.0 phone CER) is parity, not 0x
+        if ref < eps and ours < eps:
+            return 1.0
+        return ref / max(ours, eps)
+
     ours = float(r["phone_cer_ours"])
     ref = float(r["phone_cer_reference"])
-    _emit("headtohead_phone_cer", ours, "cer",
-          ref / max(ours, 1e-4))
+    _emit("headtohead_phone_cer", ours, "cer", ratio(ref, ours))
+    ours_c = float(r["char_cer_ours"])
+    ref_c = float(r["char_cer_reference"])
+    _emit("headtohead_char_cer", ours_c, "cer", ratio(ref_c, ours_c))
 
 
 def main():
