@@ -57,7 +57,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from tensorflowasr_tpu.models.layers import FFModule, glu
+from tensorflowasr_tpu.models.layers import (DepthwiseConv1D, FFModule,
+                                             glu)
 from tensorflowasr_tpu.ops import frontend as fe
 
 
@@ -297,10 +298,11 @@ class ChunkConv(nn.Module):
         self.ln = nn.LayerNorm(dtype=jnp.float32, name="ln")
         self.pw_conv_1 = nn.Dense(2 * self.dmodel, dtype=self.dtype,
                                   name="pw_conv_1")
-        self.dw_conv = nn.Conv(self.dmodel, (self.kernel_size,),
-                               feature_group_count=self.dmodel,
-                               padding=[(self.kernel_size - 1, 0)],
-                               dtype=self.dtype, name="dw_conv")
+        # shifted-slice depthwise (layers.DepthwiseConv1D): same params,
+        # GSPMD-safe gradients, no MXU-hostile grouped conv
+        self.dw_conv = DepthwiseConv1D(self.dmodel, self.kernel_size,
+                                       padding="CAUSAL", dtype=self.dtype,
+                                       name="dw_conv")
         self.dw_pw = nn.Dense(2 * self.dmodel, dtype=self.dtype,
                               name="dw_pw")
         self.bn = nn.BatchNorm(dtype=jnp.float32, name="bn")

@@ -23,8 +23,10 @@ onto the MXU. Everything is static-shape.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -33,6 +35,105 @@ from flax import linen as nn
 def glu(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     a, b = jnp.split(x, 2, axis=axis)
     return a * nn.sigmoid(b)
+
+
+def _dw_pad(t: int, k: int, stride: int, padding: str):
+    if padding == "CAUSAL":
+        return k - 1, 0
+    out_t = -(-t // stride)
+    total = max((out_t - 1) * stride + k - t, 0)
+    return total // 2, total - total // 2
+
+
+def _dw_conv_value(x, kernel, lo, hi, stride=1):
+    """Plain grouped-conv VALUE (the fast TPU lowering)."""
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(stride,), padding=[(lo, hi)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=x.shape[-1])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def depthwise_conv1d(x, kernel, lo, hi):
+    """Depthwise 1-D conv (stride 1), [B, T, C] x [K, 1, C] -> [B, T', C]
+    with explicit (lo, hi) time padding.
+
+    The forward is the ordinary grouped-conv primitive — identical speed
+    to nn.Conv(feature_group_count=C). The custom VJP exists because
+    XLA's built-in grouped-conv KERNEL-GRADIENT partitioner over-counts
+    by the replica factor on partially replicated meshes (fine on a pure
+    ``data`` mesh; a ("data", "model") tensor-parallel mesh returns
+    kernel grads scaled by the model-axis size — regression test
+    tests/test_tp.py::test_depthwise_grad_partial_replication). The
+    backward here uses only partitioner-safe VALUE computations: dx is a
+    conv of dy with the flipped kernel, dk a K-tap slice/reduce."""
+    return _dw_conv_value(x, kernel, lo, hi)
+
+
+def _dw_fwd(x, kernel, lo, hi):
+    return _dw_conv_value(x, kernel, lo, hi), (x, kernel)
+
+
+def _dw_bwd(lo, hi, res, dy):
+    x, kernel = res
+    k = kernel.shape[0]
+    t = x.shape[1]
+    # dxp[u] = sum_i dy[u - i] w[i]  ==  conv(dy, flip(w), pad K-1);
+    # then slice the padded-input grad back to x's range
+    dxp = _dw_conv_value(dy, jnp.flip(kernel, axis=0), k - 1, k - 1)
+    dx = jax.lax.slice_in_dim(dxp, lo, lo + t, axis=1)
+    # dk[i, 0, c] = sum_{b, u} xp[b, u + i, c] dy[b, u, c]
+    xp = jnp.pad(x, ((0, 0), (lo, hi), (0, 0)))
+    out_t = dy.shape[1]
+    dk = jnp.stack([
+        jnp.sum(jax.lax.slice_in_dim(xp, i, i + out_t, axis=1) * dy,
+                axis=(0, 1))
+        for i in range(k)])[:, None, :]
+    return dx, dk.astype(kernel.dtype)
+
+
+depthwise_conv1d.defvjp(_dw_fwd, _dw_bwd)
+
+
+class DepthwiseConv1D(nn.Module):
+    """Drop-in for ``nn.Conv(features=C, feature_group_count=C)``: same
+    param names/shapes (``kernel`` [K, 1, C], ``bias`` [C] — native
+    engines and checkpoints read these), same forward lowering, but
+    GSPMD-safe gradients via ``depthwise_conv1d``'s custom VJP (see its
+    docstring for the XLA partial-replication bug this works around).
+
+    ``padding``: "SAME" or "CAUSAL" (pad (K-1, 0), the chunk variants'
+    form). ``stride`` > 1 (frontend pooling use) takes the plain
+    primitive — strided value+grad; only use it on fully batch-sharded
+    or single-device meshes.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: str = "SAME"
+    dtype: jnp.dtype = jnp.float32
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, c = self.kernel_size, self.features
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, 1, c)).astype(self.dtype)
+        x = x.astype(self.dtype)
+        lo, hi = _dw_pad(x.shape[1], k, self.stride, self.padding)
+        if self.stride == 1:
+            y = depthwise_conv1d(x, kernel, lo, hi)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, kernel, window_strides=(self.stride,),
+                padding=[(lo, hi)],
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                feature_group_count=c)
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros,
+                               (c,)).astype(self.dtype)
+        return y
 
 
 class ConvSubsampling(nn.Module):
@@ -117,11 +218,9 @@ class ConvModule(nn.Module):
         y = nn.Dense(2 * self.input_dim, dtype=self.dtype, name="pw_conv_1")(y)
         y = glu(y)  # -> d channels
         # SeparableConv1D(2d, k): depthwise over d then pointwise d -> 2d
-        y = nn.Conv(self.input_dim, (self.kernel_size,),
-                    feature_group_count=self.input_dim,
-                    padding=self.padding if self.padding != "CAUSAL"
-                    else [(self.kernel_size - 1, 0)],
-                    dtype=self.dtype, name="dw_conv")(y)
+        y = DepthwiseConv1D(self.input_dim, self.kernel_size,
+                            padding=self.padding, dtype=self.dtype,
+                            name="dw_conv")(y)
         y = nn.Dense(2 * self.input_dim, dtype=self.dtype, name="dw_pw")(y)
         y = nn.BatchNorm(use_running_average=not training,
                          dtype=jnp.float32, name="bn")(y)

@@ -80,9 +80,11 @@ class WavePickModel(nn.Module):
         x = x.astype(self.dtype)
         scales = get_scales(self.hop_size)
         # SeparableConv1D(32, k=7, s=scales[0]): depthwise then pointwise
-        x = nn.Conv(x.shape[-1], (7,), strides=(scales[0],),
-                    feature_group_count=x.shape[-1], padding="SAME",
-                    dtype=self.dtype, name="sep_dw")(x)
+        from tensorflowasr_tpu.models.layers import DepthwiseConv1D
+
+        x = DepthwiseConv1D(x.shape[-1], 7, stride=scales[0],
+                            padding="SAME", dtype=self.dtype,
+                            name="sep_dw")(x)
         x = nn.Conv(32, (1,), dtype=self.dtype, name="sep_pw")(x)
         x = nn.leaky_relu(x, negative_slope=0.3)
         for i in range(1, len(scales)):
