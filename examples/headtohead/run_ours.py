@@ -54,6 +54,31 @@ def write_configs(args):
     }
     with open(data_yml, "w") as f:
         yaml.safe_dump(data, f, allow_unicode=True)
+    if args.chunk:
+        stack = {"dmodel": args.dmodel, "head_size": args.head_size,
+                 "num_heads": args.num_heads,
+                 "kernel_size": args.kernel_size, "fc_factor": 0.5,
+                 "dropout": args.dropout, "win_front": 36, "win_back": 0}
+        model = {
+            "model_config": {
+                "name": "ChunkConformer",
+                "ChunkConformerFront": {
+                    "dmodel": args.dmodel, "reduction_factor": 4,
+                    "dropout": args.dropout, "sample_rate": 16000,
+                    "n_mels": 80, "mel_layer_trainable": False,
+                    "stride_ms": 10, "chunk_num": 16,
+                },
+                "ChunkConformerEncoder": {
+                    **stack, "num_blocks": args.num_blocks},
+                "ChunkCTCPicker": {**stack, "num_blocks": 1},
+                "ChunkCTCDecoder": {**stack, "num_blocks": 1,
+                                    "win_back": 8},
+                "ContextHelper": {**stack, "num_blocks": 2},
+            }
+        }
+        with open(model_yml, "w") as f:
+            yaml.safe_dump(model, f)
+        return data_yml, model_yml
     model = {
         "model_config": {
             "name": "OfflineConformerCTC",
@@ -95,6 +120,9 @@ def main(argv=None):
                    help="train the block-streaming family "
                         "(StreamingConformerCTC) instead of offline")
     p.add_argument("--streaming_bucket", type=float, default=0.5)
+    p.add_argument("--chunk", action="store_true",
+                   help="train the ChunkConformer family (3-loss chunk "
+                        "trainer) instead of offline")
     p.add_argument("--cpu", action="store_true",
                    help="force JAX_PLATFORMS=cpu (default: whatever "
                         "backend the session has — TPU here; CER is "
@@ -120,7 +148,9 @@ def main(argv=None):
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     result = json.loads(line)
     result["framework"] = "ours"
-    result["model_family"] = "streaming" if args.streaming else "offline"
+    result["model_family"] = ("chunk" if args.chunk
+                              else "streaming" if args.streaming
+                              else "offline")
     result["total_steps"] = args.total_steps
     result["batch"] = args.batch
     with open(os.path.join(args.out_dir, "result.json"), "w") as f:

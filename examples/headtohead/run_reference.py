@@ -114,6 +114,219 @@ model_config:
     return data_yml, model_yml
 
 
+def write_chunk_configs(args):
+    """Config pair for the reference's mode-0 ChunkConformer flow
+    (asr/configs/chunk_data.yml + chunk_conformerS.yml shapes, scaled to
+    the matched head-to-head dims)."""
+    data_yml = os.path.join(args.out_dir, "ref_chunk_data.yml")
+    model_yml = os.path.join(args.out_dir, "ref_chunk_model.yml")
+    data = f"""
+speech_config:
+  mel_layer_type: Melspectrogram
+  mel_layer_trainable: False
+  add_wav_info: False
+  sample_rate: 16000
+  frame_ms: 25
+  stride_ms: 10
+  num_feature_bins: 80
+  reduction_factor: 4
+  train_list: '{args.work_dir}/train.list'
+  eval_list: '{args.work_dir}/{args.eval_list}'
+  wav_max_duration: {args.wav_max_duration}
+  only_chinese: True
+  streaming: True
+  streaming_bucket: 0.16
+  pinyin_map: '{args.out_dir}/pinyin2phone_id.map'
+  extra_txt_list: ""
+
+inp_config:
+  vocabulary: '{args.work_dir}/phones.txt'
+  blank_at_zero: False
+  beam_width: 1
+tar_config:
+  vocabulary: '{args.work_dir}/chars.txt'
+  blank_at_zero: False
+  beam_width: 1
+
+augments_config:
+  aug_ratio: 0.0
+  noise: {{active: False}}
+  masking: {{active: False}}
+  pitch: {{active: False}}
+  speed: {{active: False}}
+  rir: {{active: False}}
+  hz: {{active: False}}
+  vc: {{active: False}}
+  spec_aug: {{active: False}}
+
+optimizer_config:
+  lr: {args.lr}
+  beta1: 0.9
+  beta2: 0.98
+  epsilon: 0.000001
+
+running_config:
+  batch_size: {args.batch}
+  num_epochs: 1
+  outdir: '{args.out_dir}/logs'
+"""
+    stack = (f"dmodel: {args.dmodel}\n    head_size: {args.head_size}\n"
+             f"    num_heads: {args.num_heads}\n"
+             f"    kernel_size: {args.kernel_size}\n    fc_factor: 0.5\n"
+             f"    dropout: {args.dropout}\n    win_front: 36\n")
+    model = f"""
+model_config:
+  name: ChunkConformer
+  ChunkConformerFront:
+    dmodel: {args.dmodel}
+    reduction_factor: 4
+    dropout: {args.dropout}
+    sample_rate: 16000
+    n_mels: 80
+    mel_layer_trainable: False
+    stride_ms: 10
+    chunk_num: 16
+  ChunkConformerEncoder:
+    {stack}    num_blocks: {args.num_blocks}
+    win_back: 0
+    name: "chunk_conformer_encoder"
+    padding: "causal"
+  ChunkCTCPicker:
+    {stack}    num_blocks: 1
+    num_classes: 0
+    win_back: 0
+    name: "chunk_ctc_picker"
+  ChunkCTCDecoder:
+    {stack}    num_blocks: 1
+    num_classes: 0
+    win_back: 8
+    name: "chunk_ctc_decoder"
+  ContextHelper:
+    {stack}    num_blocks: 2
+    num_classes: 0
+    win_back: 0
+    name: "helper"
+"""
+    with open(data_yml, "w") as f:
+        f.write(data)
+    with open(model_yml, "w") as f:
+        f.write(model)
+    return data_yml, model_yml
+
+
+def run_chunk(args):
+    """Train + eval the reference's ChunkConformer (train_asr.py mode-0
+    Keras-fit flow). The reference's own chunk eval entry is broken as
+    shipped (Chunk_DataLoader.generator unconditionally unpacks the
+    10-field TRAIN batch, so the eval path's 6-field batches crash —
+    chunk_dataloader.py:428-436); we drive chunk_tester.AMTester's
+    _eval_step directly over generate(False) batches instead."""
+    import numpy as np
+    import tensorflow as tf
+    from asr.dataloaders.chunk_dataloader import Chunk_DataLoader
+    from asr.models.chunk_conformer_blocks import ChunkConformer
+    from asr.tester import chunk_tester
+    from augmentations.augments import Augmentation
+    from utils.user_config import UserConfig
+
+    # upstream bug 2: Chunk_DataLoader requires augments_config['aug_ratio']
+    # (chunk_dataloader.py:30) but Augmentation.parse (augments.py:196-205)
+    # raises on that very key — the shipped chunk_data.yml cannot construct
+    # the loader. Strip it for parse only (in-memory; reference untouched).
+    orig_parse = Augmentation.parse
+
+    def parse_skipping_ratio(self, config):
+        orig_parse(self, {k: v for k, v in (config or {}).items()
+                          if k != "aug_ratio"})
+
+    Augmentation.parse = parse_skipping_ratio
+
+    # upstream bug 3: the chunk loader calls extract(tokens, True) for the
+    # extra-text branch (chunk_dataloader.py:355-357) but
+    # TextFeaturizer.extract(tokens) takes no flag (text_featurizers.py:80).
+    # That extra-text branch is also the only caller that skips
+    # check_valid, so drop OOV tokens instead of raising (the validated
+    # main path never hits the filter).
+    from utils import text_featurizers
+
+    def extract_lenient(self, tokens, *_):
+        return [self.token_to_index[t] for t in tokens
+                if t in self.token_to_index]
+
+    text_featurizers.TextFeaturizer.extract = extract_lenient
+
+    # The pypinyin shim already answers in PHONE units (the offline
+    # AM_DataLoader keeps them because it checks the phone VOCAB,
+    # am_dataloader.py:69-75; the chunk loader instead routes through
+    # pinyin_map, chunk_dataloader.py:76-95). Feed it the recipe map
+    # augmented with identity rows so phone units map to themselves —
+    # both frameworks then train on identical phone sequences.
+    with open(os.path.join(args.work_dir, "pinyin2phone.map"),
+              encoding="utf-8") as f:
+        map_rows = f.read().rstrip("\n").split("\n")
+    with open(os.path.join(args.work_dir, "phones.txt"),
+              encoding="utf-8") as f:
+        phone_tokens = [ln.strip() for ln in f if ln.strip()]
+    with open(os.path.join(args.out_dir, "pinyin2phone_id.map"), "w",
+              encoding="utf-8") as f:
+        f.write("\n".join(map_rows) + "\n")
+        for tok in phone_tokens:
+            f.write(f"{tok}\t{tok}\n")
+
+    data_yml, model_yml = write_chunk_configs(args)
+    config = UserConfig(data_yml, model_yml)
+
+    dg = Chunk_DataLoader(config)
+
+    model = ChunkConformer(config, dg.phone_featurizer.num_classes,
+                           dg.text_featurizer.num_classes)
+    model.compile(optimizer=tf.keras.optimizers.Adam(
+        learning_rate=args.lr, beta_1=0.9, beta_2=0.98, epsilon=1e-6))
+
+    # Drive the model's own train_step directly: tf_keras 2.21's Sequence
+    # adapter unpacks __getitem__'s (batch,) differently than the TF2.2-era
+    # Keras this was written for, so fit() hands train_step a tensor where
+    # it expects the 10-field sequence (chunk_conformer_blocks.py:1035).
+    # Same math, explicit loop.
+    # train_step divides metrics by the strategy's replica count; outside
+    # fit() the attribute is unset
+    model._distribution_strategy = tf.distribute.get_strategy()
+    step_fn = tf.function(lambda data: model.train_step((data,)),
+                          reduce_retracing=True)
+    for step in range(args.total_steps):
+        batch = dg.generate(True)
+        logs = step_fn(tuple(tf.constant(a) for a in batch))
+        if step % 100 == 0 or step == args.total_steps - 1:
+            print(f"step {step}: " + ", ".join(
+                f"{k}={float(v):.4f}" for k, v in logs.items()),
+                flush=True)
+    ckpt_dir = os.path.join(args.out_dir, "logs", "all-ckpt")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    model.save_weights(os.path.join(ckpt_dir, "ckpt-final"))
+
+    tester = chunk_tester.AMTester(config)
+    tester.compile()
+    dg_eval = Chunk_DataLoader(config, training=False)
+    n_batches = max(1, -(-len(dg_eval.test_list) // args.batch))
+    for _ in range(n_batches):
+        b = dg_eval.generate(False)
+        tester._eval_step(tuple(tf.constant(a) for a in b))
+
+    result = {k: float(v.result().numpy())
+              for k, v in tester.eval_metrics.items()}
+    result["framework"] = "reference"
+    result["model_family"] = "chunk"
+    result["total_steps"] = args.total_steps
+    result["batch"] = args.batch
+    result["params"] = int(sum(int(tf.size(w))
+                               for w in model.trainable_weights))
+    out = os.path.join(args.out_dir, "result.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=2)
+    print("RESULT " + json.dumps(result))
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--work_dir", required=True,
@@ -138,6 +351,9 @@ def main(argv=None):
                    help="train the reference's block-streaming family "
                         "(StreamingConformerCTC)")
     p.add_argument("--streaming_bucket", type=float, default=0.5)
+    p.add_argument("--chunk", action="store_true",
+                   help="train the reference's ChunkConformer family "
+                        "(train_asr.py mode-0 Keras fit)")
     args = p.parse_args(argv)
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -152,6 +368,9 @@ def main(argv=None):
     sys.path.insert(0, HERE)
     import refcompat
     refcompat.setup(os.path.join(HERE, "shims"))
+
+    if args.chunk:
+        return run_chunk(args)
 
     import tensorflow as tf
     from asr.dataloaders.am_dataloader import AM_DataLoader
