@@ -200,11 +200,13 @@ class BatchingStreamFront:
     """
 
     def __init__(self, server: MultiStreamChunkServer,
-                 max_wait_ms: float = 8.0):
+                 max_wait_ms: float = 8.0, feed_deadline_s: float = 120.0):
         self._srv = server
         self._cv = threading.Condition()
         self._max_wait = max_wait_ms / 1000.0
+        self._feed_deadline = feed_deadline_s
         self._stop = False
+        self._dead: Optional[BaseException] = None   # ticker crash, if any
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -215,13 +217,34 @@ class BatchingStreamFront:
 
     def feed(self, slot: int, wav: np.ndarray) -> dict:
         """Buffer audio and block until every complete chunk of this
-        slot's buffer has been processed; returns the live result."""
+        slot's buffer has been processed; returns the live result.
+
+        Liveness: the wait is a bounded-interval heartbeat loop, not a
+        bare ``wait_for`` — every second it re-checks the predicate, re-
+        kicks the ticker (so a lost wakeup costs at most one heartbeat,
+        never a hang), and verifies the ticker thread is alive.  A crash
+        in the ticker propagates here instead of stranding clients, and
+        after ``feed_deadline_s`` of zero progress a diagnostic of the
+        pool state is raised rather than blocking forever.
+        """
+        import time as _time
         cs = self._srv.cfg.chunk_samples
+        s = self._srv._slots[slot]
         with self._cv:
             self._srv.feed(slot, wav)
             self._cv.notify_all()     # wake the ticker
-            self._cv.wait_for(
-                lambda: len(self._srv._slots[slot].wav_rem) < cs)
+            deadline = _time.monotonic() + self._feed_deadline
+            while len(s.wav_rem) >= cs:
+                self._check_ticker()
+                if _time.monotonic() > deadline:
+                    raise RuntimeError(
+                        f"feed(slot={slot}) made no progress for "
+                        f"{self._feed_deadline:.0f}s; pool state: "
+                        + self._debug_state())
+                if not self._cv.wait(timeout=1.0):
+                    # heartbeat: woke on timeout, not notify — re-kick
+                    # the ticker in case a wakeup was lost anywhere
+                    self._cv.notify_all()
             return self._srv.result(slot)
 
     def result(self, slot: int) -> dict:
@@ -230,13 +253,36 @@ class BatchingStreamFront:
 
     def close(self, slot: int) -> dict:
         with self._cv:
-            return self._srv.close(slot)
+            out = self._srv.close(slot)
+            # close() ran a drain tick that may have consumed OTHER
+            # slots' buffered chunks — their feeders are blocked on the
+            # condition and MUST be woken (lost-wakeup hang otherwise;
+            # seen as a >300s client stall in the round-3 suite run).
+            self._cv.notify_all()
+            return out
 
     def shutdown(self) -> None:
         with self._cv:
             self._stop = True
             self._cv.notify_all()
         self._thread.join(timeout=5)
+
+    def _check_ticker(self) -> None:
+        if self._dead is not None:
+            raise RuntimeError("batching ticker thread crashed") \
+                from self._dead
+        if self._stop:
+            raise RuntimeError("BatchingStreamFront is shut down")
+        if not self._thread.is_alive():
+            raise RuntimeError("batching ticker thread is not running")
+
+    def _debug_state(self) -> str:
+        cs = self._srv.cfg.chunk_samples
+        slots = [
+            f"slot{i}(active={s.active}, buffered={len(s.wav_rem)}/{cs})"
+            for i, s in enumerate(self._srv._slots)]
+        return (f"ticker_alive={self._thread.is_alive()} "
+                f"stop={self._stop} " + " ".join(slots))
 
     # -- ticker --------------------------------------------------------------
     def _has_full_chunk(self) -> bool:
@@ -245,20 +291,26 @@ class BatchingStreamFront:
                    for s in self._srv._slots)
 
     def _loop(self) -> None:
-        with self._cv:
-            while True:
-                self._cv.wait_for(
-                    lambda: self._stop or self._has_full_chunk())
-                if self._stop:
-                    return
-                # coalescing window: let concurrently-arriving feeds
-                # join this tick (lock released while waiting)
-                if self._max_wait > 0:
-                    self._cv.wait(timeout=self._max_wait)
+        try:
+            with self._cv:
+                while True:
+                    self._cv.wait_for(
+                        lambda: self._stop or self._has_full_chunk())
                     if self._stop:
                         return
-                self._srv.tick()
+                    # coalescing window: let concurrently-arriving feeds
+                    # join this tick (lock released while waiting)
+                    if self._max_wait > 0:
+                        self._cv.wait(timeout=self._max_wait)
+                        if self._stop:
+                            return
+                    self._srv.tick()
+                    self._cv.notify_all()
+        except BaseException as e:            # propagate to blocked feeders
+            with self._cv:
+                self._dead = e
                 self._cv.notify_all()
+            raise
 
 
 def build_stream_ops(front: BatchingStreamFront) -> Dict[str, Callable]:

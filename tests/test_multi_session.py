@@ -202,6 +202,100 @@ def test_batching_front_concurrent_clients():
         assert got[1] == want["char_ids"]
 
 
+def test_batching_front_close_wakes_blocked_feeders():
+    """Regression: a client's close() runs a drain tick that can consume
+    OTHER slots' buffered chunks; pre-fix it returned without notifying,
+    stranding those slots' feeders in an untimed wait (the intermittent
+    >300s hang in the round-3 suite).  Force the racy shape directly:
+    one client blocked in feed() while another closes."""
+    cfg, model, variables = _model_and_vars()
+    rng = np.random.default_rng(7)
+    cs = cfg.chunk_samples
+
+    server = MultiStreamChunkServer(model, variables, n_slots=2)
+    # huge coalescing window: the ticker sits in its wait so the close
+    # (client thread) reliably performs the drain tick itself
+    front = BatchingStreamFront(server, max_wait_ms=2000.0,
+                                feed_deadline_s=30.0)
+    try:
+        a = front.open()
+        b = front.open()
+        done = threading.Event()
+
+        def feeder():
+            front.feed(b, rng.standard_normal((cs,)).astype(np.float32))
+            done.set()
+
+        t = threading.Thread(target=feeder, daemon=True)
+        t.start()
+        import time
+        time.sleep(0.3)               # let the feeder block in its wait
+        front.feed(a, rng.standard_normal((cs // 2,)).astype(np.float32))
+        front.close(a)                # drain tick consumes b's chunk too
+        assert done.wait(timeout=10), \
+            "feeder still blocked after close() drained its chunk"
+        t.join(timeout=10)
+        front.close(b)
+    finally:
+        front.shutdown()
+
+
+def test_batching_front_stress_close_feed_races():
+    """Liveness under load: many rounds of concurrent clients whose
+    closes race other clients' feeds through one shared front.  Every
+    round must complete promptly and decode token-identically to
+    single-stream sessions (also exercises slot reuse ~30x)."""
+    cfg, model, variables = _model_and_vars()
+    rng = np.random.default_rng(5)
+    cs = cfg.chunk_samples
+    lengths = [3 * cs, cs // 2, 4 * cs + 77, 2 * cs + cs // 3]
+    wavs = [rng.standard_normal((n,)).astype(np.float32) * 0.1
+            for n in lengths]
+    expected = []
+    for w in wavs:
+        sess = ChunkStreamSession(model, variables)
+        sess.feed(w)
+        expected.append(sess.flush())
+
+    server = MultiStreamChunkServer(model, variables, n_slots=4)
+    front = BatchingStreamFront(server, max_wait_ms=2.0,
+                                feed_deadline_s=60.0)
+    rounds = 30
+    try:
+        for r in range(rounds):
+            results = [None] * len(wavs)
+            errors = []
+
+            def client(i):
+                try:
+                    slot = front.open()
+                    w = wavs[i]
+                    # ragged packets so finish times (and closes) stagger
+                    pkt = cs if i % 2 == 0 else cs // 2 + 13
+                    for off in range(0, len(w), pkt):
+                        front.feed(slot, w[off:off + pkt])
+                    out = front.close(slot)
+                    results[i] = (out["phone_ids"], out["char_ids"])
+                except Exception as e:    # surface, don't hang the join
+                    errors.append((i, e))
+
+            threads = [threading.Thread(target=client, args=(i,),
+                                        daemon=True)
+                       for i in range(len(wavs))]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=120)
+                assert not t.is_alive(), \
+                    f"round {r}: client hung; {front._debug_state()}"
+            assert not errors, f"round {r}: {errors}"
+            for got, want in zip(results, expected):
+                assert got[0] == want["phone_ids"]
+                assert got[1] == want["char_ids"]
+    finally:
+        front.shutdown()
+
+
 def test_stream_ops_over_socket():
     """Full wire path: ModelServer with inline stream ops, two concurrent
     TCP clients streaming different audio."""
