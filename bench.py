@@ -42,6 +42,12 @@ _EMITTED = []
 
 
 def _emit(metric, value, unit, vs_baseline):
+    if any(l["metric"] == metric for l in _EMITTED):
+        # a retried section re-reached an emit that already succeeded on
+        # a previous attempt — keep the record single-valued per metric
+        print(f"bench: duplicate emit of {metric} suppressed",
+              file=sys.stderr, flush=True)
+        return
     line = {"metric": metric, "value": value, "unit": unit,
             "vs_baseline": vs_baseline}
     _EMITTED.append(line)
@@ -163,7 +169,8 @@ def bench_chunk_stream():
 
     # compute-only: chain the cache dependency, ONE final sync — this is
     # the on-device per-chunk latency a colocated server pays
-    n_chunks, reps = 50, 6  # best-of-6 (multi-tenant chip)
+    n_chunks, reps = 50, 10  # best-of-10 (multi-tenant chip; r03's
+    #                          best-of-6 didn't ride out contention bursts)
     best = float("inf")
     for _ in range(reps):
         c = model.apply(variables, 1,
@@ -215,44 +222,52 @@ def bench_stream_capacity():
     # 768 -> 5.9k, 1024 -> 5.5k streams/chip — capacity PLATEAUS at
     # ~5.9k from S=256 on (per-tick compute scales linearly once the
     # pool amortizes dispatch), while per-stream RTF keeps growing
-    # (0.044 at 256, 0.065 at 384). S=256 is the largest pool that
-    # holds the <0.05/stream north star (BASELINE.md).
-    n_streams = 256
+    # (0.044 at 256, 0.065 at 384).  Under multi-tenant contention the
+    # right operating point shifts SMALLER (round-3 driver run: S=256
+    # ticked at 0.0705/stream), so sweep pool sizes and report the
+    # largest pool that holds the <0.05/stream north star (BASELINE.md)
+    # alongside the fixed S=256 point for round-over-round comparability.
     rng = np.random.default_rng(0)
-    chunks = jnp.asarray(rng.standard_normal(
-        (n_streams, cfg.chunk_samples)).astype(np.float32) * 0.1)
-    variables = model.init(
-        jax.random.PRNGKey(0), chunks[:1], jnp.ones((1, 4), jnp.int32), 8,
-        False, method=ChunkConformer.train_forward)
-
-    @jax.jit
-    def tick(v, chunks, caches):
-        phone_ids, char_ids, prov_ids, n_final, new = model.apply(
-            v, chunks, caches, method=ChunkConformer.batched_stream_step)
-        packed = (jnp.sum(phone_ids) + jnp.sum(char_ids) +
-                  jnp.sum(prov_ids) + jnp.sum(n_final))
-        return packed.astype(jnp.float32), new
-
-    caches = model.apply(variables, n_streams,
-                         method=ChunkConformer.init_multi_stream_caches)
-    packed, caches = tick(variables, chunks, caches)   # compile
-    float(packed)
-
+    variables = None
     chunk_s = cfg.chunk_samples / cfg.sample_rate      # 0.16 s
-    n_ticks, reps = 25, 6                              # best-of (multi-tenant)
-    best = float("inf")
-    for _ in range(reps):
-        c = model.apply(variables, n_streams,
-                        method=ChunkConformer.init_multi_stream_caches)
-        t0 = time.perf_counter()
-        for _ in range(n_ticks):
-            packed, c = tick(variables, chunks, c)
-        float(packed)         # cache chain => all ticks done
-        best = min(best, (time.perf_counter() - t0) / n_ticks)
 
-    # every tick advances all 64 streams by one 160 ms chunk; capacity =
-    # concurrent real-time streams one chip sustains at this pool size
-    capacity = n_streams * chunk_s / best
+    def measure(n_streams, n_ticks=25, reps=10):
+        nonlocal variables
+        chunks = jnp.asarray(rng.standard_normal(
+            (n_streams, cfg.chunk_samples)).astype(np.float32) * 0.1)
+        if variables is None:
+            variables = model.init(
+                jax.random.PRNGKey(0), chunks[:1],
+                jnp.ones((1, 4), jnp.int32), 8, False,
+                method=ChunkConformer.train_forward)
+
+        @jax.jit
+        def tick(v, chunks, caches):
+            phone_ids, char_ids, prov_ids, n_final, new = model.apply(
+                v, chunks, caches,
+                method=ChunkConformer.batched_stream_step)
+            packed = (jnp.sum(phone_ids) + jnp.sum(char_ids) +
+                      jnp.sum(prov_ids) + jnp.sum(n_final))
+            return packed.astype(jnp.float32), new
+
+        caches = model.apply(variables, n_streams,
+                             method=ChunkConformer.init_multi_stream_caches)
+        packed, caches = tick(variables, chunks, caches)   # compile
+        float(packed)
+        best = float("inf")
+        for _ in range(reps):   # best-of (multi-tenant chip)
+            c = model.apply(variables, n_streams,
+                            method=ChunkConformer.init_multi_stream_caches)
+            t0 = time.perf_counter()
+            for _ in range(n_ticks):
+                packed, c = tick(variables, chunks, c)
+            float(packed)       # cache chain => all ticks done
+            best = min(best, (time.perf_counter() - t0) / n_ticks)
+        return best
+
+    # fixed point first (comparable to BENCH_r02/r03)
+    tick_s = measure(256)
+    capacity = 256 * chunk_s / tick_s
     # reference: 1 stream/CPU core at RTF 0.1 (README.md:172) => a core
     # saturates at ~10 real-time streams
     _emit("stream_capacity_streams_per_chip", capacity, "streams",
@@ -262,8 +277,32 @@ def bench_stream_capacity():
     # is tick_seconds/0.16 — the <0.05-per-stream north star
     # (BASELINE.md), free of tunnel RTT (the tick chain only fetches one
     # scalar at the end)
-    _emit("stream_rtf_at_capacity", best / chunk_s, "rtf_per_stream",
-          0.1 / (best / chunk_s))
+    _emit("stream_rtf_at_capacity", tick_s / chunk_s, "rtf_per_stream",
+          0.1 / (tick_s / chunk_s))
+
+    # adaptive operating point: the largest pool whose per-stream RTF
+    # stays under 0.05 on THIS run's conditions
+    points = {256: tick_s}
+    if tick_s / chunk_s >= 0.05:       # S=256 over budget: step down
+        for s in (192, 128):
+            points[s] = measure(s)
+            if points[s] / chunk_s < 0.05:
+                break
+    ok = [(s, t) for s, t in points.items() if t / chunk_s < 0.05]
+    if ok:
+        s_best, t_best = max(ok)
+        _emit("stream_capacity_adaptive_streams_per_chip",
+              s_best * chunk_s / t_best, "streams",
+              (s_best * chunk_s / t_best) / 10.0)
+        _emit("stream_rtf_at_adaptive_capacity", t_best / chunk_s,
+              "rtf_per_stream", 0.1 / (t_best / chunk_s))
+    else:                       # contention so bad nothing meets 0.05
+        s_min = min(points)
+        _emit("stream_capacity_adaptive_streams_per_chip",
+              s_min * chunk_s / points[s_min], "streams",
+              (s_min * chunk_s / points[s_min]) / 10.0)
+        _emit("stream_rtf_at_adaptive_capacity", points[s_min] / chunk_s,
+              "rtf_per_stream", 0.1 / (points[s_min] / chunk_s))
 
 
 def bench_train_step():
@@ -483,16 +522,39 @@ def main():
     print(f"bench: devices={jax.devices()} "
           f"(init {time.perf_counter() - t0:.1f}s)", file=sys.stderr,
           flush=True)
+    def reset_backend():
+        """Drop the (possibly wedged) tunnel backend so the next section
+        re-initializes it; the persistent compile cache makes the
+        recompile cheap.  Best-effort — API is version-internal."""
+        try:
+            jax.clear_caches()
+        except Exception:
+            pass
+        try:
+            from jax._src import xla_bridge
+            xla_bridge._clear_backends()
+        except Exception as e:
+            print(f"bench: backend reset unavailable: {e!r}",
+                  file=sys.stderr, flush=True)
+
     for fn in (bench_offline_inference, bench_chunk_stream,
                bench_stream_capacity, bench_train_step,
                bench_native_engines, bench_headtohead):
         t0 = time.perf_counter()
         print(f"bench: {fn.__name__} ...", file=sys.stderr, flush=True)
-        try:
-            fn()
-        except Exception as e:  # keep the other metrics flowing
-            print(f"bench section {fn.__name__} failed: {e!r}",
-                  file=sys.stderr, flush=True)
+        # retry with backoff + backend re-init: a 200 s section must not
+        # vanish from the round record because the tunnel dropped one
+        # response (BENCH_r03 lost train_audio_sec_per_s exactly that way)
+        for attempt in range(3):
+            try:
+                fn()
+                break
+            except Exception as e:  # keep the other metrics flowing
+                print(f"bench section {fn.__name__} attempt {attempt + 1} "
+                      f"failed: {e!r}", file=sys.stderr, flush=True)
+                if attempt < 2:
+                    time.sleep(15 * (attempt + 1))
+                    reset_backend()
         print(f"bench: {fn.__name__} done in "
               f"{time.perf_counter() - t0:.1f}s", file=sys.stderr,
               flush=True)
