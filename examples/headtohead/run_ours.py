@@ -40,7 +40,20 @@ def write_configs(args):
         # into the batch axis, reference conformer_blocks.py:567-614
         data["speech_config"]["streaming"] = True
         data["speech_config"]["streaming_bucket"] = args.streaming_bucket
-    data["augments_config"] = {"spec_aug": {"active": False}}
+    if args.augment:
+        # same two augmenters + parameters as run_reference.py's
+        # _augments_yaml — semantically identical implementations
+        data["augments_config"] = {
+            "noise": {"active": args.noise_list is not None,
+                      "sample_rate": 16000, "SNR": [8, 30],
+                      "noises": args.noise_list or ""},
+            "masking": {"active": True, "zone": "(0.1,0.9)",
+                        "mask_ratio": 0.3, "mask_with_noise": False},
+        }
+        if args.chunk:
+            data["augments_config"]["aug_ratio"] = 0.25
+    else:
+        data["augments_config"] = {"spec_aug": {"active": False}}
     data["optimizer_config"] = {
         "lr": args.lr, "beta1": 0.9, "beta2": 0.98, "epsilon": 1e-6,
     }
@@ -123,6 +136,10 @@ def main(argv=None):
     p.add_argument("--chunk", action="store_true",
                    help="train the ChunkConformer family (3-loss chunk "
                         "trainer) instead of offline")
+    p.add_argument("--augment", action="store_true",
+                   help="activate the shared noise+masking augmenters")
+    p.add_argument("--noise_list", default=None,
+                   help="noise wav list for the SignalNoise augmenter")
     p.add_argument("--cpu", action="store_true",
                    help="force JAX_PLATFORMS=cpu (default: whatever "
                         "backend the session has — TPU here; CER is "
@@ -131,19 +148,29 @@ def main(argv=None):
 
     os.makedirs(args.out_dir, exist_ok=True)
     data_yml, model_yml = write_configs(args)
-    env = dict(os.environ)
-    if args.cpu:
-        env["JAX_PLATFORMS"] = "cpu"
+
+    def cli(script, *extra):
+        """Launch a repo CLI; --cpu pins the platform AFTER jax import
+        (a JAX_PLATFORMS=cpu env var is overridden by the axon site
+        hook at import — tests/conftest.py has the same workaround)."""
+        if args.cpu:
+            return [sys.executable, "-c",
+                    "import jax; jax.config.update('jax_platforms', "
+                    "'cpu'); import runpy, sys; "
+                    f"sys.argv = [{script!r}] + {list(extra)!r}; "
+                    f"runpy.run_path({os.path.join(REPO, script)!r}, "
+                    "run_name='__main__')"]
+        return [sys.executable, os.path.join(REPO, script)] + list(extra)
 
     subprocess.run(
-        [sys.executable, os.path.join(REPO, "train_asr.py"),
-         "--data_config", data_yml, "--model_config", model_yml,
-         "--total_steps", str(args.total_steps)],
-        check=True, env=env, cwd=REPO)
+        cli("train_asr.py", "--data_config", data_yml,
+            "--model_config", model_yml,
+            "--total_steps", str(args.total_steps)),
+        check=True, cwd=REPO)
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "eval_am.py"),
-         "--data_config", data_yml, "--model_config", model_yml],
-        check=True, env=env, cwd=REPO, capture_output=True, text=True)
+        cli("eval_am.py", "--data_config", data_yml,
+            "--model_config", model_yml),
+        check=True, cwd=REPO, capture_output=True, text=True)
     # eval_am prints one JSON line last
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     result = json.loads(line)

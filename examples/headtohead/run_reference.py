@@ -25,6 +25,27 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
+def _augments_yaml(args):
+    """Shared augmenter block: additive file-noise + signal masking (the
+    two augmenters whose implementations are semantically identical on
+    both frameworks — pure numpy/scipy, no librosa.effects), activated by
+    --augment with the same parameters both sides.  The reference draws
+    an extra batch//4 augmented samples per batch when any augmenter is
+    active (am_dataloader.py:330-391); ours mirrors that draw."""
+    aug = bool(args.augment)
+    noise = aug and args.noise_list is not None
+    return (f"  noise: {{active: {noise}, sample_rate: 16000, "
+            f"SNR: [8, 30], noises: '{args.noise_list or ''}'}}\n"
+            f"  masking: {{active: {aug}, zone: '(0.1,0.9)', "
+            f"mask_ratio: 0.3, mask_with_noise: False}}\n"
+            "  pitch: {active: False}\n"
+            "  speed: {active: False}\n"
+            "  rir: {active: False}\n"
+            "  hz: {active: False}\n"
+            "  vc: {active: False}\n"
+            "  spec_aug: {active: False}")
+
+
 def write_configs(args):
     data_yml = os.path.join(args.out_dir, "ref_data.yml")
     model_yml = os.path.join(args.out_dir, "ref_model.yml")
@@ -59,14 +80,7 @@ tar_config:
   beam_width: 1
 
 augments_config:
-  noise: {{active: False}}
-  masking: {{active: False}}
-  pitch: {{active: False}}
-  speed: {{active: False}}
-  rir: {{active: False}}
-  hz: {{active: False}}
-  vc: {{active: False}}
-  spec_aug: {{active: False}}
+{_augments_yaml(args)}
 
 optimizer_config:
   lr: {args.lr}
@@ -149,15 +163,8 @@ tar_config:
   beam_width: 1
 
 augments_config:
-  aug_ratio: 0.0
-  noise: {{active: False}}
-  masking: {{active: False}}
-  pitch: {{active: False}}
-  speed: {{active: False}}
-  rir: {{active: False}}
-  hz: {{active: False}}
-  vc: {{active: False}}
-  spec_aug: {{active: False}}
+  aug_ratio: {0.25 if args.augment else 0.0}
+{_augments_yaml(args)}
 
 optimizer_config:
   lr: {args.lr}
@@ -354,6 +361,12 @@ def main(argv=None):
     p.add_argument("--chunk", action="store_true",
                    help="train the reference's ChunkConformer family "
                         "(train_asr.py mode-0 Keras fit)")
+    p.add_argument("--augment", action="store_true",
+                   help="activate the shared noise+masking augmenters "
+                        "(the reference's extra batch//4 draw)")
+    p.add_argument("--noise_list", default=None,
+                   help="noise wav list for the SignalNoise augmenter "
+                        "(the corpus generator's noise.list)")
     args = p.parse_args(argv)
 
     os.makedirs(args.out_dir, exist_ok=True)

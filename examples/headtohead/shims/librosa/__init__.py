@@ -31,6 +31,21 @@ def resample(y, orig_sr, target_sr, **kwargs):
     raise NotImplementedError("librosa shim: resample not supported")
 
 
+class effects:
+    """librosa.effects surface for the reference VAD dataloader
+    (vad/dataloaders/vad_dataloader.py:105: energy split at top_db=20).
+    Delegates to OUR effects_split so both frameworks label the shared
+    VAD corpus with the identical energy rule."""
+
+    @staticmethod
+    def split(y, top_db=60, frame_length=2048, hop_length=512, **kwargs):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from tensorflowasr_tpu.data.vad_dataloader import effects_split
+        return effects_split(y, top_db=top_db, frame_length=frame_length,
+                             hop_length=hop_length)
+
+
 def stft(*args, **kwargs):
     raise NotImplementedError("librosa shim: stft (SpecAug must be off)")
 

@@ -38,29 +38,54 @@ SR = 16000
 PHONE_SECONDS = 0.09
 
 
-def phone_bank(phones):
-    """phone -> [n] float32 waveform; unique two-tone chord per phone."""
-    n = int(SR * PHONE_SECONDS)
+def _phone_freqs(phones):
+    """phone -> (f1, f2) base code; unique two-tone chord per phone."""
+    return {ph: (220.0 + 31.0 * (i % 40), 1480.0 + 53.0 * (i // 40))
+            for i, ph in enumerate(sorted(phones))}
+
+
+def synth_phone(ph, f1, f2, n, weights=(0.55, 0.3, 0.0)):
+    """Render one phone: tone contour on f1, chord at (f1, f2), optional
+    third harmonic at 2*f1 (speaker timbre)."""
     t = np.arange(n) / SR
+    dur = n / SR
     env = np.hanning(2 * n)[:n]          # attack-only half window
-    bank = {}
-    for i, ph in enumerate(sorted(phones)):
-        f1 = 220.0 + 31.0 * (i % 40)
-        f2 = 1480.0 + 53.0 * (i // 40)
-        tone = ph[-1] if ph[-1].isdigit() else None
-        # finals carry the tone as a pitch contour on f1
-        if tone == "2":
-            f1_t = f1 * (1.0 + 0.12 * t / PHONE_SECONDS)
-        elif tone == "3":
-            f1_t = f1 * (1.0 - 0.12 * np.sin(np.pi * t / PHONE_SECONDS))
-        elif tone == "4":
-            f1_t = f1 * (1.0 - 0.12 * t / PHONE_SECONDS)
-        else:
-            f1_t = np.full_like(t, f1)
-        phase = 2 * np.pi * np.cumsum(f1_t) / SR
-        wav = 0.55 * np.sin(phase) + 0.3 * np.sin(2 * np.pi * f2 * t)
-        bank[ph] = (wav * env).astype(np.float32)
-    return bank
+    tone = ph[-1] if ph[-1].isdigit() else None
+    if tone == "2":
+        f1_t = f1 * (1.0 + 0.12 * t / dur)
+    elif tone == "3":
+        f1_t = f1 * (1.0 - 0.12 * np.sin(np.pi * t / dur))
+    elif tone == "4":
+        f1_t = f1 * (1.0 - 0.12 * t / dur)
+    else:
+        f1_t = np.full_like(t, f1)
+    phase = 2 * np.pi * np.cumsum(f1_t) / SR
+    w1, w2, w3 = weights
+    wav = (w1 * np.sin(phase) + w2 * np.sin(2 * np.pi * f2 * t)
+           + w3 * np.sin(2 * phase))
+    return (wav * env).astype(np.float32)
+
+
+def phone_bank(phones):
+    """phone -> [n] float32 waveform at the canonical timbre/rate (the
+    legacy single-speaker corpus; also used for babble noise)."""
+    n = int(SR * PHONE_SECONDS)
+    return {ph: synth_phone(ph, f1, f2, n)
+            for ph, (f1, f2) in _phone_freqs(phones).items()}
+
+
+class Speaker:
+    """A speaker timbre: formant-code scaling (phone codes from nearby
+    slots genuinely overlap across speakers — the model must normalize
+    from utterance context), harmonic mix, and base speaking rate."""
+
+    def __init__(self, rng):
+        self.f1_scale = float(rng.uniform(0.95, 1.05))
+        self.f2_scale = float(rng.uniform(0.96, 1.04))
+        self.weights = (float(rng.uniform(0.4, 0.65)),
+                        float(rng.uniform(0.2, 0.4)),
+                        float(rng.uniform(0.0, 0.25)))
+        self.rate = float(rng.uniform(0.85, 1.2))
 
 
 def main(argv=None) -> int:
@@ -74,6 +99,27 @@ def main(argv=None) -> int:
     p.add_argument("--max_len", type=int, default=12)
     p.add_argument("--noise", type=float, default=0.02)
     p.add_argument("--seed", type=int, default=0)
+    # -- hardness knobs (defaults keep the legacy easy corpus) ---------
+    p.add_argument("--speakers", type=int, default=0,
+                   help="multi-speaker timbre variation: N speakers with "
+                        "individual formant scaling / harmonic mix / "
+                        "speaking rate; the last max(2, N//6) speakers "
+                        "are HELD OUT for the test split (0 = legacy "
+                        "single canonical timbre)")
+    p.add_argument("--rate_var", default="1,1",
+                   help="per-utterance speaking-rate multiplier range "
+                        "LO,HI on top of the speaker's base rate "
+                        "(e.g. 0.85,1.25)")
+    p.add_argument("--reverb", type=float, default=0.0,
+                   help="probability of convolving an utterance with a "
+                        "synthetic exponential-decay room impulse")
+    p.add_argument("--noise_min", type=float, default=None,
+                   help="per-utterance additive-noise amplitude drawn "
+                        "U(noise_min, --noise); default: fixed --noise")
+    p.add_argument("--emit_noise", type=int, default=0,
+                   help="write N noise wavs (colored noise + phone "
+                        "babble) and a noise.list for the SignalNoise "
+                        "augmenter on both frameworks")
     args = p.parse_args(argv)
 
     rng = np.random.default_rng(args.seed)
@@ -100,16 +146,43 @@ def main(argv=None) -> int:
                 out.append(chars[int(rng.integers(len(chars)))])
         return "".join(out)
 
-    def render(text):
+    rate_lo, rate_hi = (float(x) for x in args.rate_var.split(","))
+    freqs = _phone_freqs({ph for py in p2p for ph in p2p[py]})
+    speakers = [Speaker(rng) for _ in range(args.speakers)]
+    n_held_out = max(2, args.speakers // 6) if args.speakers else 0
+
+    def render(text, spk: "Speaker | None"):
         segs = [np.zeros(int(SR * rng.uniform(0.05, 0.15)), np.float32)]
+        utt_rate = rng.uniform(rate_lo, rate_hi)
+        pitch = rng.uniform(0.98, 1.02) if spk else 1.0
         for ch in text:
             for ph in p2p[lexicon[ch]]:
-                segs.append(bank[ph])
-            segs.append(np.zeros(int(SR * 0.02), np.float32))
+                if spk is None:
+                    segs.append(bank[ph])
+                else:
+                    f1, f2 = freqs[ph]
+                    dur = (PHONE_SECONDS * spk.rate * utt_rate
+                           * rng.uniform(0.92, 1.08))
+                    segs.append(synth_phone(
+                        ph, f1 * spk.f1_scale * pitch,
+                        f2 * spk.f2_scale * pitch,
+                        int(SR * dur), spk.weights))
+            segs.append(np.zeros(int(SR * 0.02 * utt_rate), np.float32))
         segs.append(np.zeros(int(SR * rng.uniform(0.05, 0.1)), np.float32))
         wav = np.concatenate(segs)
+        if args.reverb > 0 and rng.random() < args.reverb:
+            from scipy.signal import fftconvolve
+            tau = rng.uniform(0.02, 0.08)
+            ir_t = np.arange(int(SR * 0.15)) / SR
+            ir = (np.exp(-ir_t / tau)
+                  * rng.standard_normal(len(ir_t))).astype(np.float32)
+            ir[0] = 1.0
+            ir /= np.sqrt(np.sum(ir ** 2))
+            wav = fftconvolve(wav, ir)[:len(wav)].astype(np.float32)
         wav = wav * rng.uniform(0.5, 0.95)
-        wav += args.noise * rng.standard_normal(len(wav)).astype(np.float32)
+        amp = (rng.uniform(args.noise_min, args.noise)
+               if args.noise_min is not None else args.noise)
+        wav += amp * rng.standard_normal(len(wav)).astype(np.float32)
         return wav.astype(np.float32)
 
     os.makedirs(os.path.join(args.out_dir, "transcript"), exist_ok=True)
@@ -117,14 +190,50 @@ def main(argv=None) -> int:
     counts = {"train": args.n_train, "dev": args.n_dev, "test": args.n_test}
     for split, n in counts.items():
         for i in range(n):
-            spk = f"S{hash(split) % 7 + i % 20:04d}"
+            if speakers:
+                # test split: held-out speakers only (speaker-independent
+                # evaluation, like AISHELL's disjoint test speakers)
+                if split == "test":
+                    sid = len(speakers) - 1 - int(
+                        rng.integers(n_held_out))
+                else:
+                    sid = int(rng.integers(len(speakers) - n_held_out))
+                spk = speakers[sid]
+            else:
+                sid, spk = i % 20, None
+            spk_name = f"S{sid:04d}"
             utt = f"BAC{split[:2].upper()}{i:06d}W"
-            d = os.path.join(args.out_dir, "wav", split, spk)
+            d = os.path.join(args.out_dir, "wav", split, spk_name)
             os.makedirs(d, exist_ok=True)
             text = sample_text()
-            write_wav(os.path.join(d, utt + ".wav"), render(text), SR)
+            write_wav(os.path.join(d, utt + ".wav"), render(text, spk), SR)
             trans.append(f"{utt} {' '.join(text)}")
         print(f"{split}: {n} utts")
+
+    if args.emit_noise:
+        nd = os.path.join(args.out_dir, "noise")
+        os.makedirs(nd, exist_ok=True)
+        paths = []
+        for i in range(args.emit_noise):
+            n = SR * 10
+            if i % 2 == 0:          # colored noise (one-pole lowpass)
+                from scipy.signal import lfilter
+                x = rng.standard_normal(n).astype(np.float32)
+                a = rng.uniform(0.6, 0.95)
+                y = lfilter([1 - a], [1, -a], x).astype(np.float32)
+                wav = y / (np.abs(y).max() + 1e-6) * 0.5
+            else:                   # phone babble
+                segs = []
+                keys = sorted(bank)
+                while sum(len(s) for s in segs) < n:
+                    segs.append(bank[keys[int(rng.integers(len(keys)))]])
+                wav = np.concatenate(segs)[:n] * 0.5
+            path = os.path.join(nd, f"noise{i:03d}.wav")
+            write_wav(path, wav.astype(np.float32), SR)
+            paths.append(os.path.abspath(path))
+        with open(os.path.join(args.out_dir, "noise.list"), "w") as f:
+            f.write("\n".join(paths) + "\n")
+        print(f"noise: {args.emit_noise} wavs + noise.list")
     with open(os.path.join(args.out_dir, "transcript",
                            "aishell_transcript_v0.8.txt"), "w",
               encoding="utf-8") as f:

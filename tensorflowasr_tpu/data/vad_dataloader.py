@@ -66,8 +66,10 @@ class VADDataLoader:
         self.rng = np.random.default_rng(seed)
         self.epochs = 0
 
-        train_list = cfg_get(rc, "train_list")
-        eval_list = cfg_get(rc, "eval_list")
+        # the reference keeps the lists in speech_config
+        # (vad/dataloaders/vad_dataloader.py:44-46); accept both layouts
+        train_list = cfg_get(rc, "train_list") or cfg_get(sc, "train_list")
+        eval_list = cfg_get(rc, "eval_list") or cfg_get(sc, "eval_list")
         self.train_list: List[str] = self._read(train_list) \
             if train_list else []
         self.test_list: List[str] = self._read(eval_list) \
@@ -96,6 +98,15 @@ class VADDataLoader:
         return line
 
     def _one_item(self, train: bool):
+        # fail loudly: with an empty list the per-utt try/except would
+        # silently yield pure-silence batches (all-zero labels) and the
+        # model would "train" on nothing
+        lst = self.train_list if train else self.test_list
+        if not lst:
+            raise ValueError(
+                f"VADDataLoader: {'train' if train else 'eval'} list is "
+                "empty — set running_config.train_list/eval_list (or the "
+                "reference's speech_config layout)")
         maxlen = self.max_frames
         wav = np.zeros(1, np.float32)
         wav_target = np.zeros(1, np.float32)

@@ -312,6 +312,30 @@ def test_vad_dataloader(tmp_path):
     assert set(np.unique(b["labels"])) <= {0.0, 1.0}
     assert b["labels"].sum() > 0        # some voiced frames found
 
+    # reference config layout: lists live in speech_config
+    # (vad/dataloaders/vad_dataloader.py:44-46) — accepted too
+    config2 = {
+        "speech_config": {"sample_rate": sr, "frame_input": 80,
+                          "max_frames": 8000, "voice_thread": 0.4,
+                          "train_list": str(train),
+                          "eval_list": str(train)},
+        "running_config": {"batch_size": 2},
+        "augments_config": None,
+    }
+    dl2 = VADDataLoader(config2)
+    assert len(dl2.train_list) == 4 and len(dl2.test_list) == 4
+
+    # empty lists must raise, not silently yield all-silence batches
+    config3 = {
+        "speech_config": {"sample_rate": sr, "frame_input": 80,
+                          "max_frames": 8000, "voice_thread": 0.4},
+        "running_config": {"batch_size": 2},
+        "augments_config": None,
+    }
+    dl3 = VADDataLoader(config3)
+    with pytest.raises(ValueError, match="list is empty"):
+        dl3.generate(train=True)
+
 
 def test_rir_augmenter_runs_without_optional_package():
     """SignalRIR works in this environment (no rir_generator installed):
