@@ -24,6 +24,14 @@ def main(argv=None) -> int:
                         help="also write the raw-tensor artifact for the "
                              "standalone C++ engine (cpp/serving "
                              "asr_offline) to DIR")
+    parser.add_argument("--export_savedmodel", default=None, metavar="DIR",
+                        help="also write TF SavedModels in the "
+                             "reference's 3-graph layout (encoder / "
+                             "ctc_decoder / translator; ONNX is one "
+                             "tf2onnx command away — see MIGRATION.md)")
+    parser.add_argument("--export_durations", default="2,4,6,8",
+                        help="duration buckets (s) for the SavedModel "
+                             "encoder signatures")
     args = parser.parse_args(argv)
     config = load_config(args)
     phone_f, char_f, _, _, _ = build_featurizers(config)
@@ -68,6 +76,22 @@ def main(argv=None) -> int:
             phone_vocab=(config.section("inp_config") or {})["vocabulary"],
             char_vocab=(config.section("tar_config") or {})["vocabulary"])
         print(f"native artifact written to {args.export_native}")
+
+    if args.export_savedmodel:
+        from tensorflowasr_tpu.export.tf_export import (
+            export_savedmodel_offline,
+        )
+
+        variables = {"params": trainer.state.params}
+        if trainer.state.batch_stats is not None:
+            variables["batch_stats"] = trainer.state.batch_stats
+        durations = tuple(float(d) for d in
+                          args.export_durations.split(","))
+        export_savedmodel_offline(trainer.model, variables,
+                                  args.export_savedmodel,
+                                  durations=durations,
+                                  sample_rate=sf.sample_rate)
+        print(f"SavedModels written to {args.export_savedmodel}")
 
     wav_j = jnp.asarray(padded[None, :])
     len_j = jnp.asarray([in_len], jnp.int32)
