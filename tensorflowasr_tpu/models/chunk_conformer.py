@@ -12,9 +12,13 @@ buffers are the natural TPU form):
 - ChunkMHSA              banded attention: query i attends
                          [i-win_front, i+win_back] with the reference's edge
                          adjustments (_compute_chunk_mask :158-176); stream
-                         state = [B, win_front, d] pre-LN inputs
+                         state = [B, win_front, 2*H*hd] POST-projection
+                         K/V rows (row-local LN+projection computed once
+                         at append — identical values, ~10x less matmul
+                         per tick than re-projecting the ring)
 - ChunkConv              causal depthwise-separable conv (:231-324); stream
-                         state = [B, kernel_size, d] raw inputs
+                         state = [B, kernel_size-1, d] POST-GLU conv
+                         inputs (same once-per-row principle)
 - ChunkBlock             FF/2 -> ChunkMHSA -> ChunkConv -> FF/2 -> LN (:327-397)
 - ChunkFront             'valid' mel + chunk subsampling (:400-458); stream
                          state = [B, chunk_num*hop] wav tail + mel tail
@@ -235,8 +239,57 @@ def stream_band_mask(cache_len: int, t: int, win_front: int, win_back: int,
 # Modules
 # ---------------------------------------------------------------------------
 
+class StreamableMHA(nn.Module):
+    """Drop-in replacement for ``nn.MultiHeadDotProductAttention`` (same
+    param tree: query/key/value/out DenseGenerals, same dot-product
+    attention math as flax 0.12's default path) that ADDITIONALLY exposes
+    the K/V projections so the streaming path can cache rows
+    POST-projection. Re-projecting the whole ring every tick was ~10x
+    redundant matmul work per block (and ~37x in the per-frame decoder
+    micro-steps); the standalone C++ engine already caches K/V
+    post-projection bit-identically (CLAUDE.md), this brings the TPU
+    serving path in line."""
+
+    num_heads: int
+    head_dim: int
+    out_features: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        import functools
+
+        dense = functools.partial(
+            nn.DenseGeneral, axis=-1, dtype=self.dtype,
+            features=(self.num_heads, self.head_dim))
+        self.query = dense(name="query")
+        self.key = dense(name="key")
+        self.value = dense(name="value")
+        self.out = nn.DenseGeneral(features=self.out_features,
+                                   axis=(-2, -1), dtype=self.dtype,
+                                   name="out")
+
+    def project_kv(self, y: jnp.ndarray):
+        """[..., t, d] -> (k, v) each [..., t, H, hd]."""
+        return self.key(y), self.value(y)
+
+    def attend(self, q_in: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+               mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+        q = self.query(q_in)
+        x = nn.dot_product_attention(q, k, v, mask=mask,
+                                     deterministic=True,
+                                     dtype=self.dtype)
+        return self.out(x)
+
+    def __call__(self, inputs_q, inputs_k=None, inputs_v=None, mask=None):
+        k, v = self.project_kv(inputs_k if inputs_k is not None
+                               else inputs_q)
+        return self.attend(inputs_q, k, v, mask)
+
+
 class ChunkMHSA(nn.Module):
-    """Banded self-attention with a fixed [B, win_front, d] KV ring."""
+    """Banded self-attention with a fixed post-projection K/V ring
+    ([B, win_front, 2 * H * hd]: k rows then v rows packed along the last
+    axis)."""
 
     dmodel: int
     head_size: int
@@ -248,9 +301,8 @@ class ChunkMHSA(nn.Module):
 
     def setup(self):
         self.ln = nn.LayerNorm(dtype=jnp.float32, name="ln")
-        self.mha = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads,
-            qkv_features=self.head_size * self.num_heads,
+        self.mha = StreamableMHA(
+            num_heads=self.num_heads, head_dim=self.head_size,
             out_features=self.dmodel, dtype=self.dtype, name="mha")
         self.do = nn.Dropout(self.dropout)
 
@@ -265,20 +317,30 @@ class ChunkMHSA(nn.Module):
     def stream_call(self, x: jnp.ndarray, cache: jnp.ndarray,
                     valid: jnp.ndarray, keep: jnp.ndarray
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """x [B, t, d] pre-LN module inputs; cache [B, win_front, d] past
-        module inputs; valid [B, win_front + t] buffer validity; keep
-        [B, n_keep, 1] mask selecting which of the first n_keep input
-        frames advance into the cache (zeroed where garbage)."""
-        t = x.shape[1]
-        full = jnp.concatenate([cache, x], axis=1)
-        y = self.ln(full)
+        """x [B, t, d] pre-LN module inputs; cache [B, win_front,
+        2 * H * hd] POST-projection K/V rows for the past win_front
+        frames (identical values to re-projecting the old pre-LN input
+        ring — LN and the K/V projections are row-local); valid
+        [B, win_front + t] buffer validity; keep [B, n_keep, 1] mask
+        selecting which of the first n_keep input frames advance into
+        the cache (zeroed where garbage — those slots are always masked
+        out of the attention band, so the stored value never matters)."""
+        b, t = x.shape[0], x.shape[1]
+        h, hd = self.num_heads, self.head_size
+        y = self.ln(x)
+        k_new, v_new = self.mha.project_kv(y)          # [B, t, H, hd]
+        kv = cache.reshape(b, self.win_front, 2, h, hd)
+        k = jnp.concatenate([kv[:, :, 0], k_new], axis=1)
+        v = jnp.concatenate([kv[:, :, 1], v_new], axis=1)
         mask = stream_band_mask(self.win_front, t, self.win_front,
                                 self.win_back, valid)
-        out = self.mha(y[:, -t:], y, y, mask=mask)
-        appended = jnp.where(keep, x[:, :keep.shape[1]], 0.0)
+        out = self.mha.attend(y, k, v, mask)
+        n_keep = keep.shape[1]
+        app = jnp.stack([k_new[:, :n_keep], v_new[:, :n_keep]], axis=2)
+        app = jnp.where(keep[..., None, None], app, 0.0)
         new_cache = jnp.concatenate(
-            [cache, appended], axis=1)[:, -self.win_front:]
-        return x + out, new_cache
+            [kv, app], axis=1)[:, -self.win_front:]
+        return x + out, new_cache.reshape(b, self.win_front, 2 * h * hd)
 
 
 class ChunkConv(nn.Module):
@@ -330,15 +392,28 @@ class ChunkConv(nn.Module):
     def stream_call(self, x: jnp.ndarray, cache: jnp.ndarray,
                     valid: jnp.ndarray, keep: jnp.ndarray
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """valid [B, kernel_size + t] buffer validity; keep [B, n_keep, 1]
-        cache-advance mask (see ChunkMHSA.stream_call)."""
+        """cache [B, kernel_size - 1, d] POST-GLU conv-input rows (the
+        values the causal depthwise window needs from the past — zeroed
+        at invalid slots, which is exactly the zeroing ``_body`` applied
+        at use time, so numerics are unchanged while ln/pw1/GLU run on
+        the t NEW rows only and dw_pw/bn/swish/pw2 on the t outputs
+        only); valid [B, kernel_size + t] buffer validity; keep
+        [B, n_keep, 1] cache-advance mask (see ChunkMHSA.stream_call)."""
         t = x.shape[1]
-        full = jnp.concatenate([cache, x], axis=1)
-        y = self._body(full, training=False, conv_in_valid=valid)[:, -t:]
-        appended = jnp.where(keep, x[:, :keep.shape[1]], 0.0)
+        y = self.ln(x)
+        y = self.pw_conv_1(y)
+        y = glu(y)
+        y = jnp.where(valid[:, self.kernel_size:, None], y, 0.0)
+        buf = jnp.concatenate([cache, y], axis=1)   # [B, k-1+t, d]
+        z = self.dw_conv(buf, pad=(0, 0))           # VALID -> [B, t, d]
+        z = self.dw_pw(z)
+        z = self.bn(z, use_running_average=True)
+        z = nn.swish(z)
+        z = self.pw_conv_2(z)
+        appended = jnp.where(keep, y[:, :keep.shape[1]], 0.0)
         new_cache = jnp.concatenate(
-            [cache, appended], axis=1)[:, -self.kernel_size:]
-        return x + y, new_cache
+            [cache, appended], axis=1)[:, -(self.kernel_size - 1):]
+        return x + z, new_cache
 
 
 class ChunkBlock(nn.Module):
@@ -584,11 +659,15 @@ class ChunkStack(nn.Module):
         return layer_in, jnp.stack(new_mha), jnp.stack(new_cnn), new_fill
 
     def init_caches(self, batch: int):
+        # post-projection rings: K/V rows packed [.., wf, 2*H*hd] and
+        # post-GLU conv rows [.., k-1, d], in the computation dtype (the
+        # values cached are exactly what the projections/GLU emit)
         c = self.cfg
-        return (jnp.zeros((c.num_blocks, batch, c.win_front, c.dmodel),
-                          jnp.float32),
-                jnp.zeros((c.num_blocks, batch, c.kernel_size, c.dmodel),
-                          jnp.float32))
+        kv = 2 * c.num_heads * c.head_size
+        return (jnp.zeros((c.num_blocks, batch, c.win_front, kv),
+                          self.dtype),
+                jnp.zeros((c.num_blocks, batch, c.kernel_size - 1,
+                           c.dmodel), self.dtype))
 
 
 class ChunkCTCDecoder(nn.Module):

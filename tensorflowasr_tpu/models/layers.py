@@ -40,6 +40,12 @@ def glu(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
 def _dw_pad(t: int, k: int, stride: int, padding: str):
     if padding == "CAUSAL":
         return k - 1, 0
+    if padding != "SAME":
+        # the nn.Conv this replaced accepted VALID/explicit pads too —
+        # refuse rather than silently produce SAME output shapes
+        raise ValueError(
+            f"DepthwiseConv1D supports padding 'SAME' or 'CAUSAL', "
+            f"got {padding!r}")
     out_t = -(-t // stride)
     total = max((out_t - 1) * stride + k - t, 0)
     return total // 2, total - total // 2
@@ -116,12 +122,16 @@ class DepthwiseConv1D(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, pad=None) -> jnp.ndarray:
+        """``pad``: explicit (lo, hi) time padding overriding the
+        ``padding`` policy — e.g. (0, 0) for a VALID window over a
+        streaming ring that already holds the needed left context."""
         k, c = self.kernel_size, self.features
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (k, 1, c)).astype(self.dtype)
         x = x.astype(self.dtype)
-        lo, hi = _dw_pad(x.shape[1], k, self.stride, self.padding)
+        lo, hi = pad if pad is not None \
+            else _dw_pad(x.shape[1], k, self.stride, self.padding)
         if self.stride == 1:
             y = depthwise_conv1d(x, kernel, lo, hi)
         else:

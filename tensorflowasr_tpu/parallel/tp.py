@@ -16,7 +16,9 @@ needs them:
   ([heads, head_size, d], row-parallel over heads) — one all-reduce
   after the output projection.
 
-Everything else (convs, norms, embeddings, decoders) replicates: at
+The rules match by layer NAME (ffn1/ffn2/mha), so every ConformerBlock
+stack shards — the encoder AND the 1-block ctcdecoder/translator stacks;
+convs, norms, and embeddings replicate: at
 10-15M params the win is NOT memory but the mechanism — the same rules
 scale the bigger variants, and a ("data", "model") mesh composes TP
 with the DP story in parallel/mesh.py (batch shards over ``data``

@@ -8,6 +8,8 @@ which is itself parity-tested against offline decode
 
 import threading
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -240,6 +242,7 @@ def test_batching_front_close_wakes_blocked_feeders():
         front.shutdown()
 
 
+@pytest.mark.slow
 def test_batching_front_stress_close_feed_races():
     """Liveness under load: many rounds of concurrent clients whose
     closes race other clients' feeds through one shared front.  Every

@@ -33,6 +33,8 @@ from tensorflowasr_tpu.models.conformer import ConformerCTC, ConformerConfig
 from tensorflowasr_tpu.train.asr_trainer import make_train_step
 from tensorflowasr_tpu.train.state import ASRTrainState, make_optimizer
 
+pytestmark = pytest.mark.slow
+
 assert jax.process_count() == 2, jax.process_count()
 assert jax.device_count() == 8, jax.device_count()
 mesh = make_hybrid_mesh()

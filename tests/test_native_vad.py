@@ -19,6 +19,8 @@ from tensorflowasr_tpu.export.native_export import export_native_vad
 from tensorflowasr_tpu.models.vad import OnlineVAD
 from tensorflowasr_tpu.utils.audio import write_wav
 
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CPP_DIR = os.path.join(REPO, "cpp", "serving")
 

@@ -8,6 +8,9 @@ import subprocess
 import sys
 
 import yaml
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

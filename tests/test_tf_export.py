@@ -9,6 +9,8 @@ convert_to_pb: encoder, ctc_model, translator graphs)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 tf = pytest.importorskip("tensorflow")
 
 
