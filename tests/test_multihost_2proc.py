@@ -12,6 +12,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 _WORKER = r'''
 import os, sys
 sys.path.insert(0, {repo!r})
@@ -32,8 +34,6 @@ from tensorflowasr_tpu.parallel.multihost import (
 from tensorflowasr_tpu.models.conformer import ConformerCTC, ConformerConfig
 from tensorflowasr_tpu.train.asr_trainer import make_train_step
 from tensorflowasr_tpu.train.state import ASRTrainState, make_optimizer
-
-pytestmark = pytest.mark.slow
 
 assert jax.process_count() == 2, jax.process_count()
 assert jax.device_count() == 8, jax.device_count()
