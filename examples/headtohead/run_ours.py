@@ -50,8 +50,6 @@ def write_configs(args):
             "masking": {"active": True, "zone": "(0.1,0.9)",
                         "mask_ratio": 0.3, "mask_with_noise": False},
         }
-        if args.chunk:
-            data["augments_config"]["aug_ratio"] = 0.25
     else:
         data["augments_config"] = {"spec_aug": {"active": False}}
     data["optimizer_config"] = {

@@ -311,6 +311,9 @@ def run_chunk(args):
     os.makedirs(ckpt_dir, exist_ok=True)
     model.save_weights(os.path.join(ckpt_dir, "ckpt-final"))
 
+    # re-read: Augmentation.parse mutates the shared config (pops
+    # 'active') — see upstream bug 5 note in main()'s eval stage
+    config = UserConfig(data_yml, model_yml)
     tester = chunk_tester.AMTester(config)
     tester.compile()
     dg_eval = Chunk_DataLoader(config, training=False)
@@ -418,6 +421,11 @@ def main(argv=None):
             break
 
     # ---- eval (reference eval_am.py flow, test split) ----
+    # upstream bug 5: Augmentation.parse MUTATES the config (pops
+    # 'active', augments.py:207-210), so constructing a second loader
+    # from the same UserConfig crashes with KeyError when any augmenter
+    # is on. Re-read the config files for the eval stage.
+    config = UserConfig(data_yml, model_yml)
     dg_eval = AM_DataLoader(config, training=False)
     tester = am_tester.AMTester(config)
     tester.set_progbar(dg_eval.eval_per_epoch_steps())

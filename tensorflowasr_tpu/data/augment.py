@@ -309,6 +309,12 @@ class Augmentation:
     def __init__(self, config: Optional[Dict] = None):
         self.augmentations: List = []
         for key, value in (config or {}).items():
+            if key == "aug_ratio":
+                # the reference's chunk_data.yml carries this loader-side
+                # knob inside augments_config (chunk_dataloader.py:30);
+                # our loaders use the fixed batch//4 extra draw — accept
+                # the key so reference configs load unchanged
+                continue
             cls = AUGMENTATIONS.get(key)
             if cls is None:
                 raise KeyError(

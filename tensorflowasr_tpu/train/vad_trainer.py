@@ -65,7 +65,12 @@ def make_vad_train_step(model, donate: bool = True) -> Callable:
                                      training=True)
         one, zero = vad_mask_loss(batch["labels"], logits)
         stft = multi_resolution_stft_loss(batch["wav_target"], masked)
-        total = (one + zero) * 10.0 + stft
+        # the reference runs its (already batch-averaged) scalar through
+        # compute_average_loss, i.e. divides by the global batch size
+        # (vad_trainer.py:57-58) — match it: at the same lr the 4-8x
+        # larger gradients otherwise blow up on hard corpora (observed
+        # NaN within 100 steps on the round-4 multi-speaker corpus)
+        total = ((one + zero) * 10.0 + stft) / batch["x"].shape[0]
         metrics = {
             "vad_loss": (one + zero),
             "wav_loss": stft,
