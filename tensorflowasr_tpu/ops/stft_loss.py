@@ -50,8 +50,15 @@ def _single_res_loss(y: jnp.ndarray, x: jnp.ndarray, frame_length: int,
     # numeric floor, compatible with the reference (stft.py:159-161)
     x_mag = jnp.sqrt(x_mag ** 2 + 1e-7) + 1e-6
     y_mag = jnp.sqrt(y_mag ** 2 + 1e-7) + 1e-6
-    sc = (jnp.linalg.norm(y_mag - x_mag, axis=(1, 2))
-          / (jnp.linalg.norm(y_mag, axis=(1, 2)) + 1e-12))
+    # norms via an eps-guarded sqrt: jnp.linalg.norm's gradient is
+    # diff/norm, which is 0/0 = NaN when prediction == target exactly —
+    # hit in practice by all-silence streaming windows (both spectra
+    # collapse to the identical floor constant). sqrt(sum + eps) keeps
+    # the value (within eps) and makes the zero-diff gradient 0.
+    def _norm(a):
+        return jnp.sqrt(jnp.sum(a ** 2, axis=(1, 2)) + 1e-24)
+
+    sc = _norm(y_mag - x_mag) / (_norm(y_mag) + 1e-12)
     mag = jnp.mean(jnp.abs(jnp.log(y_mag) - jnp.log(x_mag)), axis=(1, 2))
     return jnp.mean(sc), jnp.mean(mag)
 

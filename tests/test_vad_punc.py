@@ -37,6 +37,23 @@ def test_multi_res_stft_loss_zero_for_identical():
     assert loss_diff > loss_same
 
 
+def test_multi_res_stft_loss_grad_finite_for_identical_and_silence():
+    """Regression: jnp.linalg.norm's backward is 0/0 = NaN when the
+    spectra match exactly — hit by all-silence streaming windows (both
+    magnitudes collapse to the identical floor constant); NaN'd VAD
+    training within 100 steps on the round-4 corpus."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32))
+    zeros = jnp.zeros((2, 4000), jnp.float32)
+
+    import jax
+
+    g = jax.grad(lambda y: multi_resolution_stft_loss(x, y))(x)
+    assert bool(jnp.isfinite(g).all())
+    g0 = jax.grad(lambda y: multi_resolution_stft_loss(zeros, y))(zeros)
+    assert bool(jnp.isfinite(g0).all())
+
+
 @pytest.mark.parametrize("cls", [OnlineVAD, OfflineVAD])
 def test_vad_shapes_and_params(cls):
     model = cls(dmodel=32, frame_input=80)
