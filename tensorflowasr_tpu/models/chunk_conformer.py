@@ -62,7 +62,7 @@ import numpy as np
 from flax import linen as nn
 
 from tensorflowasr_tpu.models.layers import (DepthwiseConv1D, FFModule,
-                                             glu)
+                                             glu, keras_embedding_init)
 from tensorflowasr_tpu.ops import frontend as fe
 
 
@@ -710,7 +710,9 @@ class ContextHelper(nn.Module):
 
     def setup(self):
         self.sample_helper = nn.Embed(self.num_classes, self.cfg.dmodel,
-                                      dtype=self.dtype, name="sample_helper")
+                                      dtype=self.dtype,
+                                      embedding_init=keras_embedding_init(),
+                                      name="sample_helper")
         self.stack = ChunkStack(self.cfg, dtype=self.dtype, name="stack")
 
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:

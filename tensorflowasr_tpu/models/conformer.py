@@ -34,6 +34,7 @@ from tensorflowasr_tpu.models.layers import (
     ConvSubsampling,
     RBlock,
     ScannedConformerBlocks,
+    keras_embedding_init,
 )
 from tensorflowasr_tpu.ops import frontend as fe
 
@@ -336,6 +337,7 @@ class Translator(nn.Module):
                  training: bool = False) -> jnp.ndarray:
         c = self.cfg
         x = nn.Embed(self.inp_classes, c.dmodel, dtype=c.dtype,
+                     embedding_init=keras_embedding_init(),
                      name="inp_embedding")(phone_ids)
         enc = enc.astype(c.dtype)
         for i in range(c.translator_num_blocks):

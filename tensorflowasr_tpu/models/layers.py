@@ -37,6 +37,19 @@ def glu(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     return a * nn.sigmoid(b)
 
 
+def keras_embedding_init(scale: float = 0.05):
+    """Keras ``Embedding`` default init: uniform(-0.05, 0.05). flax's
+    ``nn.Embed`` defaults to normal(stddev=1) — a 20x input-scale gap
+    that measurably slows the char/punc branches' convergence vs the
+    reference on hard vocab-lookup tasks (round-4 head-to-head); every
+    embedding matching a reference ``tf.keras.layers.Embedding`` uses
+    this init."""
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -scale, scale)
+
+    return init
+
+
 def _dw_pad(t: int, k: int, stride: int, padding: str):
     if padding == "CAUSAL":
         return k - 1, 0

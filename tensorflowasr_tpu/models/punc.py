@@ -26,7 +26,8 @@ from typing import Any, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tensorflowasr_tpu.models.layers import positional_encoding
+from tensorflowasr_tpu.models.layers import (keras_embedding_init,
+                                             positional_encoding)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -100,6 +101,7 @@ class PuncTransformer(nn.Module):
         key_ok = (ids != 0)[:, None, None, :]                  # [B,1,1,T]
 
         x = nn.Embed(self.vocab_size, c.embedding_dim, dtype=self.dtype,
+                     embedding_init=keras_embedding_init(),
                      name="embedding")(ids)
         x = x * jnp.sqrt(jnp.asarray(c.d_model, jnp.float32))
         pe = jnp.asarray(positional_encoding(c.pe_input, c.embedding_dim))
