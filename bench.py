@@ -559,6 +559,11 @@ def bench_headtohead_live():
     vs = (float(ref) / max(ours, 1e-4)) if ref is not None else None
     _emit("headtohead_live_phone_cer", ours, "cer", vs)
 
+
+def main():
+    import faulthandler
+    import os
+
     # if a section wedges (tunnel hiccup), dump all stacks so the hang is
     # diagnosable from the log; repeats every 10 min
     faulthandler.dump_traceback_later(600, repeat=True, exit=False)
