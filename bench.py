@@ -42,14 +42,19 @@ _EMITTED = []
 
 
 def _emit(metric, value, unit, vs_baseline):
-    if any(l["metric"] == metric for l in _EMITTED):
-        # a retried section re-reached an emit that already succeeded on
-        # a previous attempt — keep the record single-valued per metric
-        print(f"bench: duplicate emit of {metric} suppressed",
-              file=sys.stderr, flush=True)
-        return
     line = {"metric": metric, "value": value, "unit": unit,
             "vs_baseline": vs_baseline}
+    for prev in _EMITTED:
+        if prev["metric"] == metric:
+            # a retried section re-measured a metric that was first
+            # emitted on the (possibly wedged) pre-retry backend — the
+            # fresh value supersedes it; printed again so last-occurrence
+            # parsing picks up the corrected number
+            print(f"bench: re-emitting {metric} from retried section "
+                  f"(was {prev['value']})", file=sys.stderr, flush=True)
+            prev.update(line)
+            print(json.dumps(line), flush=True)
+            return
     _EMITTED.append(line)
     print(json.dumps(line), flush=True)
 

@@ -149,7 +149,10 @@ def main(argv=None) -> int:
     rate_lo, rate_hi = (float(x) for x in args.rate_var.split(","))
     freqs = _phone_freqs({ph for py in p2p for ph in p2p[py]})
     speakers = [Speaker(rng) for _ in range(args.speakers)]
-    n_held_out = max(2, args.speakers // 6) if args.speakers else 0
+    # held-out test speakers: want >= 2 of them but always leave at
+    # least 1 training speaker (--speakers 1 holds out none)
+    n_held_out = (min(args.speakers - 1, max(2, args.speakers // 6))
+                  if args.speakers >= 2 else 0)
 
     def render(text, spk: "Speaker | None"):
         segs = [np.zeros(int(SR * rng.uniform(0.05, 0.15)), np.float32)]
@@ -192,8 +195,9 @@ def main(argv=None) -> int:
         for i in range(n):
             if speakers:
                 # test split: held-out speakers only (speaker-independent
-                # evaluation, like AISHELL's disjoint test speakers)
-                if split == "test":
+                # evaluation, like AISHELL's disjoint test speakers);
+                # with n_held_out == 0 every split shares the pool
+                if split == "test" and n_held_out:
                     sid = len(speakers) - 1 - int(
                         rng.integers(n_held_out))
                 else:

@@ -35,7 +35,9 @@ def main(argv=None) -> int:
     dl = VADDataLoader(config)
     model, state = build_vad_model(config)
     trainer = GenericTrainer(
-        state, make_vad_train_step(model, donate=False),
+        state, make_vad_train_step(model, donate=False,
+                                   global_batch=int(rc["batch_size"]
+                                                    or 8)),
         make_vad_eval_step(model), outdir=rc["outdir"] or "./vad-logs",
         running_config=rc)
     if rc["outdir"] and trainer.restore():

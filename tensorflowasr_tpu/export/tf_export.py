@@ -159,6 +159,12 @@ def load_offline_session(outdir: str):
         wav = np.asarray(wav, np.float32)
         if wav.ndim == 1:
             wav = wav[None]
+        if wav.shape[1] > pad_to:
+            raise ValueError(
+                f"wav has {wav.shape[1]} samples but the "
+                f"'{duration_key}' signature takes exactly {pad_to}; "
+                "pick a longer duration bucket (or split the audio) — "
+                "the exported encoder signatures are duration-bucketed")
         if wav.shape[1] < pad_to:
             wav = np.pad(wav, ((0, 0), (0, pad_to - wav.shape[1])))
         enc = enc_m.signatures[duration_key](

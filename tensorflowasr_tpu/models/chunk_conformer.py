@@ -281,8 +281,10 @@ class StreamableMHA(nn.Module):
         return self.out(x)
 
     def __call__(self, inputs_q, inputs_k=None, inputs_v=None, mask=None):
-        k, v = self.project_kv(inputs_k if inputs_k is not None
-                               else inputs_q)
+        inputs_k = inputs_k if inputs_k is not None else inputs_q
+        inputs_v = inputs_v if inputs_v is not None else inputs_k
+        k = self.key(inputs_k)
+        v = self.value(inputs_v)
         return self.attend(inputs_q, k, v, mask)
 
 

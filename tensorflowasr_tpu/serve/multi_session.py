@@ -234,8 +234,14 @@ class BatchingStreamFront:
             self._srv.feed(slot, wav)
             self._cv.notify_all()     # wake the ticker
             deadline = _time.monotonic() + self._feed_deadline
+            last_rem = len(s.wav_rem)
             while len(s.wav_rem) >= cs:
                 self._check_ticker()
+                if len(s.wav_rem) < last_rem:
+                    # progress: the deadline bounds STALLS, not total
+                    # drain time of a large buffered feed
+                    last_rem = len(s.wav_rem)
+                    deadline = _time.monotonic() + self._feed_deadline
                 if _time.monotonic() > deadline:
                     raise RuntimeError(
                         f"feed(slot={slot}) made no progress for "

@@ -59,18 +59,24 @@ def streaming_reshape(batch: dict, min_frames: int,
     return {name: fold(a) for name, a in batch.items()}
 
 
-def make_vad_train_step(model, donate: bool = True) -> Callable:
+def make_vad_train_step(model, donate: bool = True,
+                        global_batch: int | None = None) -> Callable:
     def loss_fn(params, batch):
         logits, masked = model.apply({"params": params}, batch["x"],
                                      training=True)
         one, zero = vad_mask_loss(batch["labels"], logits)
         stft = multi_resolution_stft_loss(batch["wav_target"], masked)
         # the reference runs its (already batch-averaged) scalar through
-        # compute_average_loss, i.e. divides by the global batch size
-        # (vad_trainer.py:57-58) — match it: at the same lr the 4-8x
-        # larger gradients otherwise blow up on hard corpora (observed
-        # NaN within 100 steps on the round-4 multi-speaker corpus)
-        total = ((one + zero) * 10.0 + stft) / batch["x"].shape[0]
+        # compute_average_loss, i.e. divides by the CONFIGURED global
+        # batch size (vad_trainer.py:57-58, base_trainer.py:79) — match
+        # it: at the same lr the 4-8x larger gradients otherwise blow up
+        # on hard corpora (observed NaN within 100 steps on the round-4
+        # multi-speaker corpus). ``global_batch`` must be the CONSTANT
+        # running_config batch_size, NOT the per-step array shape: the
+        # streaming_reshape fold multiplies shape[0] by a random factor
+        # every step, which would make the effective lr jitter.
+        divisor = global_batch or batch["x"].shape[0]
+        total = ((one + zero) * 10.0 + stft) / divisor
         metrics = {
             "vad_loss": (one + zero),
             "wav_loss": stft,
