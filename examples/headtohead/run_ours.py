@@ -138,6 +138,11 @@ def main(argv=None):
                    help="activate the shared noise+masking augmenters")
     p.add_argument("--noise_list", default=None,
                    help="noise wav list for the SignalNoise augmenter")
+    p.add_argument("--data_workers", type=int, default=None,
+                   help="override train_asr --data_workers (0 = in-process "
+                        "loading, which makes the batch sequence "
+                        "DETERMINISTIC — multiprocess workers race and "
+                        "reorder batches run-to-run)")
     p.add_argument("--cpu", action="store_true",
                    help="force JAX_PLATFORMS=cpu (default: whatever "
                         "backend the session has — TPU here; CER is "
@@ -160,11 +165,11 @@ def main(argv=None):
                     "run_name='__main__')"]
         return [sys.executable, os.path.join(REPO, script)] + list(extra)
 
-    subprocess.run(
-        cli("train_asr.py", "--data_config", data_yml,
-            "--model_config", model_yml,
-            "--total_steps", str(args.total_steps)),
-        check=True, cwd=REPO)
+    train_args = ["--data_config", data_yml, "--model_config", model_yml,
+                  "--total_steps", str(args.total_steps)]
+    if args.data_workers is not None:
+        train_args += ["--data_workers", str(args.data_workers)]
+    subprocess.run(cli("train_asr.py", *train_args), check=True, cwd=REPO)
     out = subprocess.run(
         cli("eval_am.py", "--data_config", data_yml,
             "--model_config", model_yml),

@@ -26,6 +26,11 @@ def main(argv=None) -> int:
                         help="also write the raw-tensor artifact for the "
                              "standalone C++ chunk-streaming engine "
                              "(cpp/serving asr_chunk) to DIR")
+    parser.add_argument("--export_savedmodel", default=None, metavar="DIR",
+                        help="also write the stateful picker/decoder TF "
+                             "SavedModel pair (the reference's consumable "
+                             "streaming-export layout; ONNX via tf2onnx) "
+                             "to DIR")
     args = parser.parse_args(argv)
     config = load_config(args)
     phone_f, char_f, _, _, _ = build_featurizers(config)
@@ -64,6 +69,15 @@ def main(argv=None) -> int:
             phone_vocab=(config.section("inp_config") or {})["vocabulary"],
             char_vocab=(config.section("tar_config") or {})["vocabulary"])
         print(f"native chunk artifact written to {args.export_native}")
+
+    if args.export_savedmodel:
+        from tensorflowasr_tpu.export.tf_export import (
+            export_savedmodel_chunk_streaming)
+
+        export_savedmodel_chunk_streaming(trainer.model, variables,
+                                          args.export_savedmodel)
+        print(f"stateful SavedModel pair written to "
+              f"{args.export_savedmodel}")
 
     # offline decode
     char_ids, char_lens, ph_ids, ph_lens = trainer.predict_step(

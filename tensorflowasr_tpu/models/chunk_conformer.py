@@ -62,6 +62,9 @@ import numpy as np
 from flax import linen as nn
 
 from tensorflowasr_tpu.models.layers import (DepthwiseConv1D, FFModule,
+                                             keras_kernel_init,
+                                             keras_mha_out_init,
+                                             keras_mha_qkv_init,
                                              glu, keras_embedding_init)
 from tensorflowasr_tpu.ops import frontend as fe
 
@@ -260,12 +263,15 @@ class StreamableMHA(nn.Module):
 
         dense = functools.partial(
             nn.DenseGeneral, axis=-1, dtype=self.dtype,
+            kernel_init=keras_mha_qkv_init(self.num_heads, self.head_dim),
             features=(self.num_heads, self.head_dim))
         self.query = dense(name="query")
         self.key = dense(name="key")
         self.value = dense(name="value")
         self.out = nn.DenseGeneral(features=self.out_features,
                                    axis=(-2, -1), dtype=self.dtype,
+                                   kernel_init=keras_mha_out_init(
+                                       self.num_heads),
                                    name="out")
 
     def project_kv(self, y: jnp.ndarray):
@@ -361,6 +367,7 @@ class ChunkConv(nn.Module):
     def setup(self):
         self.ln = nn.LayerNorm(dtype=jnp.float32, name="ln")
         self.pw_conv_1 = nn.Dense(2 * self.dmodel, dtype=self.dtype,
+                                  kernel_init=keras_kernel_init(),
                                   name="pw_conv_1")
         # shifted-slice depthwise (layers.DepthwiseConv1D): same params,
         # GSPMD-safe gradients, no MXU-hostile grouped conv
@@ -368,9 +375,11 @@ class ChunkConv(nn.Module):
                                        padding="CAUSAL", dtype=self.dtype,
                                        name="dw_conv")
         self.dw_pw = nn.Dense(2 * self.dmodel, dtype=self.dtype,
+                              kernel_init=keras_kernel_init(),
                               name="dw_pw")
         self.bn = nn.BatchNorm(dtype=jnp.float32, name="bn")
         self.pw_conv_2 = nn.Dense(self.dmodel, dtype=self.dtype,
+                                  kernel_init=keras_kernel_init(),
                                   name="pw_conv_2")
         self.do = nn.Dropout(self.dropout)
 
@@ -479,10 +488,14 @@ class ChunkConvSubsampling(nn.Module):
         assert self.reduction_factor % 2 == 0
         self.conv1 = nn.Conv(self.odim, (3, 3),
                              strides=(self.reduction_factor // 2, 2),
-                             padding="VALID", dtype=self.dtype, name="conv1")
+                             padding="VALID", dtype=self.dtype,
+                             kernel_init=keras_kernel_init(), name="conv1")
         self.conv2 = nn.Conv(self.odim, (3, 3), strides=(2, 2),
-                             padding="VALID", dtype=self.dtype, name="conv2")
-        self.linear = nn.Dense(self.odim, dtype=self.dtype, name="linear")
+                             padding="VALID", dtype=self.dtype,
+                             kernel_init=keras_kernel_init(), name="conv2")
+        self.linear = nn.Dense(self.odim, dtype=self.dtype,
+                               kernel_init=keras_kernel_init(),
+                               name="linear")
         self.do = nn.Dropout(self.dropout)
         self.sub_length = self.chunk_num // self.reduction_factor
 
@@ -682,9 +695,11 @@ class ChunkCTCDecoder(nn.Module):
 
     def setup(self):
         self.project = nn.Dense(self.cfg.dmodel, dtype=self.dtype,
+                                kernel_init=keras_kernel_init(),
                                 name="project")
         self.stack = ChunkStack(self.cfg, dtype=self.dtype, name="stack")
         self.fc = nn.Dense(self.num_classes, dtype=jnp.float32,
+                           kernel_init=keras_kernel_init(),
                            name="fully_connected")
 
     def __call__(self, x: jnp.ndarray, training: bool = False):

@@ -35,6 +35,7 @@ from tensorflowasr_tpu.models.layers import (
     RBlock,
     ScannedConformerBlocks,
     keras_embedding_init,
+    keras_kernel_init,
 )
 from tensorflowasr_tpu.ops import frontend as fe
 
@@ -309,7 +310,8 @@ class CTCDecoder(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         c = self.cfg
-        x = nn.Dense(c.dmodel, dtype=c.dtype, name="project")(x)
+        x = nn.Dense(c.dmodel, dtype=c.dtype,
+                     kernel_init=keras_kernel_init(), name="project")(x)
         for i in range(c.ctcdecoder_num_blocks):
             x = ConformerBlock(
                 input_dim=c.dmodel, dropout=c.ctcdecoder_dropout,
@@ -318,6 +320,7 @@ class CTCDecoder(nn.Module):
                 dtype=c.dtype, name=f"decoder_conformer_block_{i}",
             )(x, training)
         return nn.Dense(self.num_classes, dtype=jnp.float32,
+                        kernel_init=keras_kernel_init(),
                         name="fully_connected")(x)
 
 
@@ -348,6 +351,7 @@ class Translator(nn.Module):
                 dtype=c.dtype, name=f"decoder_conformer_block_{i}",
             )(x, enc, training)
         return nn.Dense(self.tar_classes, dtype=jnp.float32,
+                        kernel_init=keras_kernel_init(),
                         name="fully_connected")(x)
 
 

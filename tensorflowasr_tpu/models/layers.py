@@ -37,6 +37,61 @@ def glu(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     return a * nn.sigmoid(b)
 
 
+def keras_kernel_init():
+    """Keras ``Dense``/``Conv1D``/``Conv2D`` default kernel init:
+    glorot_uniform. flax defaults to ``lecun_normal`` — a sqrt(2·fan_in/
+    (fan_in+fan_out)) scale gap plus a distribution-shape gap that
+    measurably changes early training dynamics vs the reference (the
+    embedding-only fix in round 4 proved this class of mismatch costs
+    CER; round 5 completes the pass). For 1-D/2-D conv kernels flax and
+    Keras compute identical fans from the (k..., in, out) layout, so the
+    stock initializer is exact parity."""
+    return nn.initializers.glorot_uniform()
+
+
+def keras_depthwise_init():
+    """glorot_uniform with Keras's ``DepthwiseConv1D``/``SeparableConv1D``
+    fan convention. Keras stores the depthwise kernel as
+    (k, channels, depth_multiplier=1) ⇒ fan_in = k·C, fan_out = k·1;
+    our layout is (k, 1, C), for which flax's generic fan rule would give
+    fan_in = k, fan_out = k·C — a very different limit. This init applies
+    the Keras fans to our layout."""
+    def init(key, shape, dtype=jnp.float32):
+        k, dm, c = shape
+        limit = float(np.sqrt(6.0 / (k * c + k * dm)))
+        return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+    return init
+
+
+def keras_mha_qkv_init(num_heads: int, head_size: int):
+    """glorot_uniform with the reference MHA's fan convention for the
+    q/k/v kernels. The reference stores them as
+    [num_heads, d_in, head_size] (asr/models/layers/multihead_attention.py:
+    75-98), so Keras computes fan_in = h·d_in, fan_out = h·head_size.
+    flax's DenseGeneral hands this init the flattened (d_in, h·hd) shape;
+    we recompute the reference limit from the closed-over h/hd."""
+    def init(key, shape, dtype=jnp.float32):
+        d_in = shape[0]
+        limit = float(np.sqrt(
+            6.0 / (num_heads * d_in + num_heads * head_size)))
+        return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+    return init
+
+
+def keras_mha_out_init(num_heads: int):
+    """Reference MHA projection kernel [num_heads, head_size, out]:
+    fan_in = h·hd, fan_out = h·out. flax hands the flattened
+    (h·hd, out) shape, so fan_in is shape[0] as-is and fan_out is
+    h·shape[1]."""
+    def init(key, shape, dtype=jnp.float32):
+        limit = float(np.sqrt(6.0 / (shape[0] + num_heads * shape[1])))
+        return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+    return init
+
+
 def keras_embedding_init(scale: float = 0.05):
     """Keras ``Embedding`` default init: uniform(-0.05, 0.05). flax's
     ``nn.Embed`` defaults to normal(stddev=1) — a 20x input-scale gap
@@ -140,7 +195,7 @@ class DepthwiseConv1D(nn.Module):
         ``padding`` policy — e.g. (0, 0) for a VALID window over a
         streaming ring that already holds the needed left context."""
         k, c = self.kernel_size, self.features
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+        kernel = self.param("kernel", keras_depthwise_init(),
                             (k, 1, c)).astype(self.dtype)
         x = x.astype(self.dtype)
         lo, hi = pad if pad is not None \
@@ -177,14 +232,17 @@ class ConvSubsampling(nn.Module):
         x = x.astype(self.dtype)
         x = nn.Conv(self.odim, (3, 3),
                     strides=(self.reduction_factor // 2, 2),
-                    padding="SAME", dtype=self.dtype, name="conv1")(x)
+                    padding="SAME", dtype=self.dtype,
+                    kernel_init=keras_kernel_init(), name="conv1")(x)
         x = nn.relu(x)
         x = nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="SAME",
-                    dtype=self.dtype, name="conv2")(x)
+                    dtype=self.dtype, kernel_init=keras_kernel_init(),
+                    name="conv2")(x)
         x = nn.relu(x)
         b, t, f, c = x.shape
         x = x.reshape(b, t, f * c)
-        x = nn.Dense(self.odim, dtype=self.dtype, name="linear")(x)
+        x = nn.Dense(self.odim, dtype=self.dtype,
+                     kernel_init=keras_kernel_init(), name="linear")(x)
         x = nn.Dropout(self.dropout, deterministic=not training)(x)
         return x
 
@@ -198,10 +256,12 @@ class FFModule(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         y = nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
-        y = nn.Dense(4 * self.input_dim, dtype=self.dtype, name="ffn1")(y)
+        y = nn.Dense(4 * self.input_dim, dtype=self.dtype,
+                     kernel_init=keras_kernel_init(), name="ffn1")(y)
         y = nn.swish(y)
         y = nn.Dropout(self.dropout, deterministic=not training)(y)
-        y = nn.Dense(self.input_dim, dtype=self.dtype, name="ffn2")(y)
+        y = nn.Dense(self.input_dim, dtype=self.dtype,
+                     kernel_init=keras_kernel_init(), name="ffn2")(y)
         y = nn.Dropout(self.dropout, deterministic=not training)(y)
         return x + self.fc_factor * y
 
@@ -221,8 +281,10 @@ class MHSAModule(nn.Module):
             qkv_features=self.head_size * self.num_heads,
             out_features=x.shape[-1],
             dtype=self.dtype,
+            kernel_init=keras_mha_qkv_init(self.num_heads, self.head_size),
+            out_kernel_init=keras_mha_out_init(self.num_heads),
             name="mha",
-        )(y, inputs_k=y, inputs_v=y, mask=mask)
+        )(y, inputs_k=y, mask=mask)
         y = nn.Dropout(self.dropout, deterministic=not training)(y)
         return x + y
 
@@ -238,17 +300,20 @@ class ConvModule(nn.Module):
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         y = nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
         # pointwise Conv1D(2d, k=1) == Dense
-        y = nn.Dense(2 * self.input_dim, dtype=self.dtype, name="pw_conv_1")(y)
+        y = nn.Dense(2 * self.input_dim, dtype=self.dtype,
+                     kernel_init=keras_kernel_init(), name="pw_conv_1")(y)
         y = glu(y)  # -> d channels
         # SeparableConv1D(2d, k): depthwise over d then pointwise d -> 2d
         y = DepthwiseConv1D(self.input_dim, self.kernel_size,
                             padding=self.padding, dtype=self.dtype,
                             name="dw_conv")(y)
-        y = nn.Dense(2 * self.input_dim, dtype=self.dtype, name="dw_pw")(y)
+        y = nn.Dense(2 * self.input_dim, dtype=self.dtype,
+                     kernel_init=keras_kernel_init(), name="dw_pw")(y)
         y = nn.BatchNorm(use_running_average=not training,
                          dtype=jnp.float32, name="bn")(y)
         y = nn.swish(y)
-        y = nn.Dense(self.input_dim, dtype=self.dtype, name="pw_conv_2")(y)
+        y = nn.Dense(self.input_dim, dtype=self.dtype,
+                     kernel_init=keras_kernel_init(), name="pw_conv_2")(y)
         y = nn.Dropout(self.dropout, deterministic=not training)(y)
         return x + y
 
@@ -382,8 +447,10 @@ class RMHSAModule(nn.Module):
             qkv_features=self.head_size * self.num_heads,
             out_features=x.shape[-1],
             dtype=self.dtype,
+            kernel_init=keras_mha_qkv_init(self.num_heads, self.head_size),
+            out_kernel_init=keras_mha_out_init(self.num_heads),
             name="mha",
-        )(y, inputs_k=enc, inputs_v=enc)
+        )(y, inputs_k=enc)
         y = nn.Dropout(self.dropout, deterministic=not training)(y)
         return x + y
 

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tensorflowasr_tpu.models.layers import (keras_embedding_init,
+                                             keras_kernel_init,
                                              positional_encoding)
 
 
@@ -68,15 +69,22 @@ class EncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
                  training: bool = False) -> jnp.ndarray:
+        # reference punc MHA projections are plain Dense(d_model)
+        # (punc_transformer.py:87-91) — flax's flattened (d_in, h*hd)
+        # fan equals the Keras Dense fan here, so stock glorot is exact
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, qkv_features=self.d_model,
-            out_features=self.d_model, dtype=self.dtype, name="mha",
-        )(x, inputs_k=x, inputs_v=x, mask=mask)
+            out_features=self.d_model, dtype=self.dtype,
+            kernel_init=keras_kernel_init(),
+            out_kernel_init=keras_kernel_init(), name="mha",
+        )(x, inputs_k=x, mask=mask)
         attn = nn.Dropout(self.dropout, deterministic=not training)(attn)
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="ln1")(x + attn)
-        y = nn.Dense(self.dff, dtype=self.dtype, name="ffn1")(x)
+        y = nn.Dense(self.dff, dtype=self.dtype,
+                     kernel_init=keras_kernel_init(), name="ffn1")(x)
         y = nn.relu(y)
-        y = nn.Dense(self.d_model, dtype=self.dtype, name="ffn2")(y)
+        y = nn.Dense(self.d_model, dtype=self.dtype,
+                     kernel_init=keras_kernel_init(), name="ffn2")(y)
         y = nn.Dropout(self.dropout, deterministic=not training)(y)
         return nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
                             name="ln2")(x + y)
@@ -107,7 +115,9 @@ class PuncTransformer(nn.Module):
         pe = jnp.asarray(positional_encoding(c.pe_input, c.embedding_dim))
         x = x + pe[None, :t]
         x = nn.Dropout(c.dropout, deterministic=not training)(x)
-        x = nn.Dense(c.d_model, dtype=self.dtype, name="input_projecter")(x)
+        x = nn.Dense(c.d_model, dtype=self.dtype,
+                     kernel_init=keras_kernel_init(),
+                     name="input_projecter")(x)
         x = nn.elu(x)
         for i in range(c.num_layers):
             plus = x
@@ -115,17 +125,22 @@ class PuncTransformer(nn.Module):
                              dtype=self.dtype, name=f"enc_layer_{i}")(
                 x, key_ok, training)
             x = nn.relu(nn.Conv(c.d_model, (3,), padding=[(2, 0)],
-                                dtype=self.dtype, name=f"cnn_{i}")(x))
+                                dtype=self.dtype,
+                                kernel_init=keras_kernel_init(),
+                                name=f"cnn_{i}")(x))
             x = x + plus
 
         bert_out = nn.Dense(c.bert_dim, dtype=jnp.float32,
+                            kernel_init=keras_kernel_init(),
                             name="to_bert_embedding")(x)
         y = nn.Dense(c.d_model, dtype=self.dtype,
+                     kernel_init=keras_kernel_init(),
                      name="to_hidden_state")(bert_out)
         for i in range(max(c.num_layers - 1, 1)):
             y = EncoderLayer(c.d_model, c.num_heads, c.dff, c.dropout,
                              dtype=self.dtype, name=f"map_layer_{i}")(
                 y, key_ok, training)
         logits = nn.Dense(self.num_punc_classes, dtype=jnp.float32,
+                          kernel_init=keras_kernel_init(),
                           name="final_bd_layer")(y)
         return logits, bert_out

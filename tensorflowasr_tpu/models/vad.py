@@ -18,6 +18,8 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
+from tensorflowasr_tpu.models.layers import keras_kernel_init
+
 
 class OnlineVAD(nn.Module):
     """Causal variant — streamable frame by frame
@@ -29,17 +31,17 @@ class OnlineVAD(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False):
-        h = nn.Dense(self.dmodel, dtype=self.dtype, name="embed")(x)
-        h = nn.relu(nn.Dense(self.dmodel, dtype=self.dtype, name="dense1")(h))
+        h = nn.Dense(self.dmodel, dtype=self.dtype, kernel_init=keras_kernel_init(), name="embed")(x)
+        h = nn.relu(nn.Dense(self.dmodel, dtype=self.dtype, kernel_init=keras_kernel_init(), name="dense1")(h))
         h = nn.relu(nn.Conv(self.dmodel * 2, (3,), padding=[(2, 0)],
-                            dtype=self.dtype, name="cnn1")(h))
-        h = nn.relu(nn.Dense(self.dmodel, dtype=self.dtype, name="dense2")(h))
+                            dtype=self.dtype, kernel_init=keras_kernel_init(), name="cnn1")(h))
+        h = nn.relu(nn.Dense(self.dmodel, dtype=self.dtype, kernel_init=keras_kernel_init(), name="dense2")(h))
         h = nn.relu(nn.Conv(self.dmodel * 2, (3,), padding=[(2, 0)],
-                            dtype=self.dtype, name="cnn2")(h))
-        h = nn.relu(nn.Dense(self.dmodel, dtype=self.dtype, name="dense3")(h))
-        logits = nn.Dense(1, dtype=jnp.float32, name="fc")(h)
+                            dtype=self.dtype, kernel_init=keras_kernel_init(), name="cnn2")(h))
+        h = nn.relu(nn.Dense(self.dmodel, dtype=self.dtype, kernel_init=keras_kernel_init(), name="dense3")(h))
+        logits = nn.Dense(1, dtype=jnp.float32, kernel_init=keras_kernel_init(), name="fc")(h)
         mask = nn.Dense(self.frame_input, dtype=jnp.float32,
-                        name="audio_voice_mask")(h)
+                        kernel_init=keras_kernel_init(), name="audio_voice_mask")(h)
         return logits, x * mask
 
     def infer(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -58,16 +60,16 @@ class OfflineVAD(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False):
-        h = nn.Dense(self.dmodel, dtype=self.dtype, name="embed")(x)
-        h = nn.relu(nn.Dense(self.dmodel, dtype=self.dtype, name="dense1")(h))
+        h = nn.Dense(self.dmodel, dtype=self.dtype, kernel_init=keras_kernel_init(), name="embed")(x)
+        h = nn.relu(nn.Dense(self.dmodel, dtype=self.dtype, kernel_init=keras_kernel_init(), name="dense1")(h))
         for i, d in enumerate((1, 2, 4, 8)):
             h = nn.relu(nn.Conv(self.dmodel, (5,), padding="SAME",
                                 kernel_dilation=(d,), dtype=self.dtype,
-                                name=f"cnn{i + 1}")(h))
-        h = nn.relu(nn.Dense(self.dmodel, dtype=self.dtype, name="dense2")(h))
-        logits = nn.Dense(1, dtype=jnp.float32, name="fc")(h)
+                                kernel_init=keras_kernel_init(), name=f"cnn{i + 1}")(h))
+        h = nn.relu(nn.Dense(self.dmodel, dtype=self.dtype, kernel_init=keras_kernel_init(), name="dense2")(h))
+        logits = nn.Dense(1, dtype=jnp.float32, kernel_init=keras_kernel_init(), name="fc")(h)
         mask = nn.Dense(self.frame_input, dtype=jnp.float32,
-                        name="audio_voice_mask")(h)
+                        kernel_init=keras_kernel_init(), name="audio_voice_mask")(h)
         return logits, x * mask
 
     def infer(self, x: jnp.ndarray) -> jnp.ndarray:

@@ -20,6 +20,8 @@ from typing import Any, List
 import jax.numpy as jnp
 from flax import linen as nn
 
+from tensorflowasr_tpu.models.layers import keras_kernel_init
+
 
 def get_scales(num: int) -> List[int]:
     """Factorize ``num`` into <= 4 stride factors, largest first
@@ -57,11 +59,11 @@ class ResidualStack(nn.Module):
         y = jnp.pad(y, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
         y = nn.Conv(self.filters, (self.kernel_size,),
                     kernel_dilation=(self.dilation,), padding="VALID",
-                    dtype=self.dtype, name="conv")(y)
+                    dtype=self.dtype, kernel_init=keras_kernel_init(), name="conv")(y)
         y = nn.leaky_relu(y, negative_slope=0.3)
-        y = nn.Conv(self.filters, (1,), dtype=self.dtype, name="pw")(y)
+        y = nn.Conv(self.filters, (1,), dtype=self.dtype, kernel_init=keras_kernel_init(), name="pw")(y)
         shortcut = nn.Conv(self.filters, (1,), dtype=self.dtype,
-                           name="shortcut")(x)
+                           kernel_init=keras_kernel_init(), name="shortcut")(x)
         return shortcut + y
 
 
@@ -85,12 +87,12 @@ class WavePickModel(nn.Module):
         x = DepthwiseConv1D(x.shape[-1], 7, stride=scales[0],
                             padding="SAME", dtype=self.dtype,
                             name="sep_dw")(x)
-        x = nn.Conv(32, (1,), dtype=self.dtype, name="sep_pw")(x)
+        x = nn.Conv(32, (1,), dtype=self.dtype, kernel_init=keras_kernel_init(), name="sep_pw")(x)
         x = nn.leaky_relu(x, negative_slope=0.3)
         for i in range(1, len(scales)):
             f = min(32 * (i + 1), self.dout)
             x = nn.Conv(f, (3,), strides=(scales[i],), padding="SAME",
-                        dtype=self.dtype, name=f"down_{i}")(x)
+                        dtype=self.dtype, kernel_init=keras_kernel_init(), name=f"down_{i}")(x)
             x = ResidualStack(f, dtype=self.dtype, name=f"res_{i}")(x)
         return nn.Conv(self.dout, (7,), padding="SAME", dtype=self.dtype,
-                       name="final")(x)
+                       kernel_init=keras_kernel_init(), name="final")(x)

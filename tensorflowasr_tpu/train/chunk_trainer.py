@@ -6,10 +6,16 @@ single jitted step over the mesh:
 
   loss = phone_ctc + txt_ctc + help_ctc            (:1081)
     phone_ctc: picker phone logits vs phone labels over encoder frames
-    txt_ctc:   char decoder on helper(feature_pick(...)) vs char labels,
-               input length = per-example picked counts (the reference uses
-               the padded max for every example, :1055-1056 — counts are
-               strictly more correct and documented here as the deviation)
+    txt_ctc:   char decoder on helper(feature_pick(...)) vs char labels.
+               Input length is controlled by ``txt_ctc_length``:
+               "padded" (default) feeds the full picked capacity for every
+               example — the reference's exact behavior (:1052-1056,
+               new_input_length = T for all rows), whose extra trailing
+               frames give the char CTC alignment slack; "picked" feeds the
+               per-example picked counts (strictly tighter lengths — the
+               round-1..4 behavior, kept as an ablation knob after the
+               round-4 head-to-head showed the chunk char branch converging
+               slower than the reference)
     help_ctc:  char decoder on helper.phone_call(extra_phones) vs the extra
                text labels, input length = extra phone length
 
@@ -49,7 +55,8 @@ def _chunk_ctc_acc(labels: jnp.ndarray, decoded: jnp.ndarray) -> jnp.ndarray:
 
 
 def _loss_and_metrics(model: ChunkConformer, params, batch_stats, batch,
-                      dropout_rng, max_pick: int, training: bool):
+                      dropout_rng, max_pick: int, training: bool,
+                      txt_ctc_length: str = "padded"):
     variables = {"params": params}
     if batch_stats is not None:
         variables["batch_stats"] = batch_stats
@@ -72,7 +79,14 @@ def _loss_and_metrics(model: ChunkConformer, params, batch_stats, batch,
     phone_loss = ctc_loss(fwd["phone_logits"], batch["input_length"],
                           batch["phones"], batch["phone_length"],
                           blank_id=phone_blank)
-    txt_loss = ctc_loss(fwd["txt_logits"], fwd["picked_counts"],
+    if txt_ctc_length == "padded":
+        # reference parity (:1052-1056): every example's char CTC sees the
+        # full picked capacity T, not its own picked count
+        txt_len = jnp.full_like(fwd["picked_counts"],
+                                fwd["txt_logits"].shape[1])
+    else:
+        txt_len = fwd["picked_counts"]
+    txt_loss = ctc_loss(fwd["txt_logits"], txt_len,
                         batch["chars"], batch["char_length"],
                         blank_id=char_blank)
     help_loss = ctc_loss(fwd["help_logits"], batch["extra_phone_length"],
@@ -101,7 +115,8 @@ def _loss_and_metrics(model: ChunkConformer, params, batch_stats, batch,
 
 
 def make_chunk_train_step(model: ChunkConformer, max_pick: int,
-                          donate: bool = True) -> Callable:
+                          donate: bool = True,
+                          txt_ctc_length: str = "padded") -> Callable:
     """Returns jitted (state, batch, rng) -> (state, metrics)."""
 
     def step(state: ASRTrainState, batch: Dict[str, jnp.ndarray],
@@ -109,7 +124,8 @@ def make_chunk_train_step(model: ChunkConformer, max_pick: int,
         dropout_rng = jax.random.fold_in(rng, state.step)
         grad_fn = jax.value_and_grad(
             lambda p: _loss_and_metrics(model, p, state.batch_stats, batch,
-                                        dropout_rng, max_pick, True),
+                                        dropout_rng, max_pick, True,
+                                        txt_ctc_length),
             has_aux=True)
         (_, (metrics, new_stats)), grads = grad_fn(state.params)
         state = state.apply_gradients(grads=grads)
@@ -120,11 +136,12 @@ def make_chunk_train_step(model: ChunkConformer, max_pick: int,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_chunk_eval_step(model: ChunkConformer, max_pick: int) -> Callable:
+def make_chunk_eval_step(model: ChunkConformer, max_pick: int,
+                         txt_ctc_length: str = "padded") -> Callable:
     def step(state: ASRTrainState, batch):
         _, (metrics, _) = _loss_and_metrics(
             model, state.params, state.batch_stats, batch,
-            jax.random.PRNGKey(0), max_pick, False)
+            jax.random.PRNGKey(0), max_pick, False, txt_ctc_length)
         return metrics
 
     return jax.jit(step)
@@ -176,8 +193,11 @@ class ChunkTrainer(TrainerBase):
                 int(cfg_get(rc, "batch_size", 16)))
         self.mesh = mesh
         self.tx = make_optimizer(config["optimizer_config"])
-        self.train_step = make_chunk_train_step(self.model, max_pick)
-        self.eval_step = make_chunk_eval_step(self.model, max_pick)
+        self.txt_ctc_length = cfg_get(rc, "txt_ctc_length", "padded")
+        self.train_step = make_chunk_train_step(
+            self.model, max_pick, txt_ctc_length=self.txt_ctc_length)
+        self.eval_step = make_chunk_eval_step(
+            self.model, max_pick, txt_ctc_length=self.txt_ctc_length)
         self.predict_step = make_chunk_predict_step(self.model, max_pick)
         self.log_interval = cfg_get(rc, "log_interval_steps", 100)
         self.save_interval = cfg_get(rc, "save_interval_steps", 500)

@@ -61,6 +61,15 @@ def streaming_reshape(batch: dict, min_frames: int,
 
 def make_vad_train_step(model, donate: bool = True,
                         global_batch: int | None = None) -> Callable:
+    if global_batch is None:
+        import warnings
+
+        warnings.warn(
+            "make_vad_train_step: global_batch not given — falling back "
+            "to the per-step array shape, which JITTERS the effective lr "
+            "under streaming_reshape's random fold. Pass the configured "
+            "running_config batch_size.", stacklevel=2)
+
     def loss_fn(params, batch):
         logits, masked = model.apply({"params": params}, batch["x"],
                                      training=True)

@@ -43,10 +43,13 @@ def test_overfit_two_utterances():
                                  batch_stats=variables.get("batch_stats"))
     step = make_train_step(model, tx, blank_id=blank, donate=False)
     key = jax.random.PRNGKey(1)
-    # 400 fixed steps: the params overfit in ~100, but the BatchNorm
-    # RUNNING stats (momentum 0.99) need ~400 to match the batch stats —
-    # before that, eval-mode decode collapses to blanks
-    for _ in range(400):
+    # 600 fixed steps: the params overfit in ~100, but the BatchNorm
+    # RUNNING stats (momentum 0.99) need several hundred more to match
+    # the batch stats — before that, eval-mode decode collapses to
+    # blanks (bumped 400 -> 600 with the round-5 Keras glorot inits:
+    # smaller first-layer activations made the running-stat catch-up
+    # marginally slower)
+    for _ in range(600):
         state, metrics = step(state, batch, key)
     assert float(metrics["ctc_acc"]) > 0.999
 

@@ -83,3 +83,76 @@ def test_savedmodel_offline_parity(tmp_path):
     char_tf = list(char_tf.values())[0].numpy()
     assert np.array_equal(np.argmax(char_tf, -1),
                           np.argmax(np.asarray(char_j), -1))
+
+
+def test_savedmodel_chunk_streaming_parity(tmp_path):
+    """The stateful picker/decoder SavedModel pair, driven by the
+    reference-style host loop (load_chunk_streaming_session), must
+    reproduce ChunkConformer.fused_stream_step token-exactly: same phone
+    argmaxes, same emitted final char ids, same provisional tail.
+
+    Reference surface being mirrored: test_chunk_asr.py:141-274
+    (convert_to_onnx picker/decoder + onnx_stream_call host loop)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tensorflowasr_tpu.export.tf_export import (
+        export_savedmodel_chunk_streaming,
+        load_chunk_streaming_session,
+    )
+    from tensorflowasr_tpu.models.chunk_conformer import (
+        ChunkConformer,
+        ChunkConformerConfig,
+        ChunkStackConfig,
+    )
+
+    n_phone, n_char = 12, 17
+    stack = dict(dmodel=16, head_size=8, num_heads=2, kernel_size=4,
+                 dropout=0.0, win_front=6)
+    cfg = ChunkConformerConfig(
+        dmodel=16, reduction_factor=4, front_dropout=0.0,
+        sample_rate=16000, n_mels=20, stride_ms=10, chunk_num=16,
+        encoder=ChunkStackConfig(num_blocks=2, win_back=0, **stack),
+        picker=ChunkStackConfig(num_blocks=1, win_back=0, **stack),
+        decoder=ChunkStackConfig(num_blocks=1, win_back=2, **stack),
+        helper=ChunkStackConfig(num_blocks=1, win_back=0, **stack),
+    )
+    model = ChunkConformer(cfg, n_phone, n_char)
+    rng = np.random.default_rng(3)
+    n_chunks = 5
+    wav = rng.standard_normal(
+        (1, cfg.chunk_samples * n_chunks)).astype(np.float32) * 0.3
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(wav),
+                           jnp.ones((1, 6), jnp.int32), 10, False,
+                           method=ChunkConformer.train_forward)
+
+    out = str(tmp_path / "chunk_sm")
+    export_savedmodel_chunk_streaming(model, variables, out)
+
+    step_tf = load_chunk_streaming_session(out, phone_blank=n_phone - 1)
+
+    caches = model.apply(variables, 1,
+                         method=ChunkConformer.init_stream_caches)
+    fused = jax.jit(lambda w, c: model.apply(
+        variables, w, c, method=ChunkConformer.fused_stream_step))
+
+    any_char = False
+    for i in range(n_chunks):
+        chunk = wav[:, i * cfg.chunk_samples:(i + 1) * cfg.chunk_samples]
+        ph_j, ch_j, prov_j, n_final_j, caches = fused(
+            jnp.asarray(chunk), caches)
+        ph_tf, ch_tf, prov_tf = step_tf(chunk[0])
+
+        t = cfg.sub_length
+        nf = int(np.asarray(n_final_j)[0])
+        # phone argmaxes over the final region must agree exactly
+        assert list(np.asarray(ph_j)[t - nf:]) == list(ph_tf[t - nf:]), i
+        # emitted final char ids: fused emits -1 where nothing final
+        ch_j_list = [int(x) for x in np.asarray(ch_j) if x >= 0]
+        assert ch_j_list == ch_tf, (i, ch_j_list, ch_tf)
+        any_char = any_char or bool(ch_tf)
+        # provisional tail (argmaxes over valid pending slots)
+        prov_j_list = [int(x) for x in np.asarray(prov_j) if x >= 0]
+        if prov_j_list:
+            assert prov_j_list == prov_tf[-len(prov_j_list):], i
+    assert any_char, "test signal never produced a picked frame"

@@ -97,7 +97,7 @@ def test_vad_train_step_descends():
     state = ASRTrainState.create(
         apply_fn=model.apply, params=variables["params"],
         tx=make_optimizer({"lr": 3e-3}))
-    step = make_vad_train_step(model, donate=False)
+    step = make_vad_train_step(model, donate=False, global_batch=2)
     losses = []
     for _ in range(10):
         state, m = step(state, batch)
