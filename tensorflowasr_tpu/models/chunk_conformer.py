@@ -132,6 +132,11 @@ class ChunkConformerConfig:
     decoder: ChunkStackConfig = ChunkStackConfig(num_blocks=1, win_back=8)
     helper: ChunkStackConfig = ChunkStackConfig(num_blocks=2)
     dtype_str: str = "float32"
+    # opt-in serving path: vectorize the per-chunk decoder micro-steps
+    # into one batched pass (_fused_decoder_phase). Mathematically equal,
+    # not bit-identical — keep False where exact sequential parity is
+    # asserted (the CPU test suite), True for TPU serving throughput.
+    fused_decoder: bool = False
 
     @property
     def dtype(self):
@@ -174,6 +179,7 @@ class ChunkConformerConfig:
             stride_ms=front.get("stride_ms", 10),
             chunk_num=front.get("chunk_num", 16),
             spec_augment=front.get("spec_augment", False),
+            fused_decoder=mc.get("fused_decoder", False),
             specaug_freq_masks=front.get("specaug_freq_masks", 2),
             specaug_freq_width=front.get("specaug_freq_width", 27),
             specaug_time_masks=front.get("specaug_time_masks", 2),
@@ -218,6 +224,57 @@ def buffer_validity(cache_len: int, t: int, fill: jnp.ndarray,
     cache_ok = j >= (cache_len - fill)
     input_bad = (j >= cache_len) & (j < cache_len + skip)
     return cache_ok & ~input_bad
+
+
+def left_compact_idx(valid: jnp.ndarray) -> jnp.ndarray:
+    """[B, T] bool -> [B, T] gather indices that move the True rows to the
+    FRONT, original order preserved (stable argsort on ~valid). Used by
+    the fused decoder phase to pack a per-stream-variable number of real
+    rows against a ring without data-dependent shapes."""
+    return jnp.argsort(~valid, axis=1, stable=True)
+
+
+def ring_append_dyn(ring: jnp.ndarray, rows: jnp.ndarray,
+                    m: jnp.ndarray) -> jnp.ndarray:
+    """Append the first ``m`` (per-stream, dynamic) of ``rows`` to a
+    right-aligned ring and keep the last ``r`` entries — one
+    take_along_axis instead of a data-dependent concat/slice.
+
+    ring [B, r, d] (newest at the end), rows [B, T, d] with the rows to
+    append LEFT-compacted (first m real, in order), m [B] int32.
+    Output slot s (distance from end p = r - s): row m - p of ``rows``
+    when p <= m, else ring slot s + m (shift by m).
+    """
+    r = ring.shape[1]
+    if r == 0:
+        return ring
+    buf = jnp.concatenate([ring, rows], axis=1)
+    s = jnp.arange(r)[None, :]
+    p = r - s
+    m = m.astype(jnp.int32)[:, None]
+    idx = jnp.where(p <= m, r + m - p, s + m)
+    return jnp.take_along_axis(buf, idx[..., None], axis=1)
+
+
+def dyn_band_mask(ring_fill: jnp.ndarray, r: int, row_valid: jnp.ndarray,
+                  win_front: int, win_back: int) -> jnp.ndarray:
+    """Banded attention mask by REAL-ROW index for a buffer
+    [ring(r) | rows(T)] whose real rows may have garbage holes between
+    them (the fused decoder phase's kept-frame mask). Query row i with
+    real index q attends keys with real index in [q - wf, q + wb] —
+    identical to the positional band of the sequential path, where
+    garbage only ever forms a contiguous prefix so positional and
+    real-index banding coincide. Returns [B, 1, T, r + T]."""
+    b, t = row_valid.shape
+    ring_valid = jnp.arange(r)[None, :] >= (
+        r - jnp.minimum(ring_fill.astype(jnp.int32), r)[:, None])
+    valid = jnp.concatenate([ring_valid, row_valid], axis=1)  # [B, r+T]
+    ri = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+    q_ri = ri[:, r:]
+    band = ((ri[:, None, :] >= q_ri[:, :, None] - win_front) &
+            (ri[:, None, :] <= q_ri[:, :, None] + win_back))
+    mask = band & valid[:, None, :] & row_valid[:, :, None]
+    return mask[:, None]
 
 
 def stream_band_mask(cache_len: int, t: int, win_front: int, win_back: int,
@@ -350,6 +407,36 @@ class ChunkMHSA(nn.Module):
             [kv, app], axis=1)[:, -self.win_front:]
         return x + out, new_cache.reshape(b, self.win_front, 2 * h * hd)
 
+    def stream_call_dyn(self, x: jnp.ndarray, cache: jnp.ndarray,
+                        fill: jnp.ndarray, row_valid: jnp.ndarray,
+                        adv_mask: jnp.ndarray
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Dynamic-count variant of ``stream_call`` for the fused decoder
+        phase: real input rows sit at arbitrary positions (``row_valid``,
+        garbage holes allowed), and only the ``adv_mask`` subset advances
+        into the K/V ring — appended in temporal order via a compacting
+        gather, so the ring stays garbage-free (contiguous valid suffix
+        ``fill``). Attention is banded by real-row index
+        (``dyn_band_mask``), which equals the sequential path's
+        positional band. Outputs at garbage rows are garbage."""
+        b, t = x.shape[0], x.shape[1]
+        h, hd = self.num_heads, self.head_size
+        y = self.ln(x)
+        k_new, v_new = self.mha.project_kv(y)          # [B, t, H, hd]
+        kv = cache.reshape(b, self.win_front, 2, h, hd)
+        k = jnp.concatenate([kv[:, :, 0], k_new], axis=1)
+        v = jnp.concatenate([kv[:, :, 1], v_new], axis=1)
+        mask = dyn_band_mask(fill, self.win_front, row_valid,
+                             self.win_front, self.win_back)
+        out = self.mha.attend(y, k, v, mask)
+        packed = jnp.stack([k_new, v_new], axis=2).reshape(
+            b, t, 2 * h * hd)
+        lc = left_compact_idx(adv_mask)
+        rows = jnp.take_along_axis(packed, lc[..., None], axis=1)
+        new_cache = ring_append_dyn(
+            cache, rows, jnp.sum(adv_mask, axis=1))
+        return x + out, new_cache
+
 
 class ChunkConv(nn.Module):
     """Causal conformer conv module with a fixed [B, kernel, d] input ring.
@@ -426,6 +513,35 @@ class ChunkConv(nn.Module):
             [cache, appended], axis=1)[:, -(self.kernel_size - 1):]
         return x + z, new_cache
 
+    def stream_call_dyn(self, x: jnp.ndarray, cache: jnp.ndarray,
+                        row_valid: jnp.ndarray, adv_mask: jnp.ndarray
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Dynamic-count variant for the fused decoder phase. The causal
+        depthwise window needs the real rows ADJACENT, so the post-GLU
+        rows are left-compacted against the ring (whose zero slots are
+        exactly the stream-start causal pad, garbage-free by
+        construction), convolved, and scattered back to their original
+        positions. Only ``adv_mask`` rows enter the ring."""
+        y = self.ln(x)
+        y = self.pw_conv_1(y)
+        y = glu(y)
+        y = jnp.where(row_valid[..., None], y, 0.0)
+        lc = left_compact_idx(row_valid)
+        inv = jnp.argsort(lc, axis=1)
+        y_c = jnp.take_along_axis(y, lc[..., None], axis=1)
+        buf = jnp.concatenate([cache, y_c], axis=1)   # [B, k-1+t, d]
+        z_c = self.dw_conv(buf, pad=(0, 0))           # VALID -> [B, t, d]
+        z = jnp.take_along_axis(z_c, inv[..., None], axis=1)
+        z = self.dw_pw(z)
+        z = self.bn(z, use_running_average=True)
+        z = nn.swish(z)
+        z = self.pw_conv_2(z)
+        rows = jnp.take_along_axis(
+            y, left_compact_idx(adv_mask)[..., None], axis=1)
+        new_cache = ring_append_dyn(
+            cache, rows, jnp.sum(adv_mask, axis=1))
+        return x + z, new_cache
+
 
 class ChunkBlock(nn.Module):
     """FF/2 -> ChunkMHSA -> ChunkConv -> FF/2 -> LN (:327-397)."""
@@ -465,6 +581,17 @@ class ChunkBlock(nn.Module):
         x = self.ffm1(x, False)
         x, new_mha = self.mhsam.stream_call(x, mha_cache, mha_valid, keep)
         x, new_cnn = self.convm.stream_call(x, cnn_cache, cnn_valid, keep)
+        x = self.ffm2(x, False)
+        return self.ln(x), new_mha, new_cnn
+
+    def stream_call_dyn(self, x, mha_cache, cnn_cache, fill, row_valid,
+                        adv_mask):
+        """Dynamic-count block step (fused decoder phase)."""
+        x = self.ffm1(x, False)
+        x, new_mha = self.mhsam.stream_call_dyn(x, mha_cache, fill,
+                                                row_valid, adv_mask)
+        x, new_cnn = self.convm.stream_call_dyn(x, cnn_cache, row_valid,
+                                                adv_mask)
         x = self.ffm2(x, False)
         return self.ln(x), new_mha, new_cnn
 
@@ -673,6 +800,37 @@ class ChunkStack(nn.Module):
         new_fill = fill + appended_real
         return layer_in, jnp.stack(new_mha), jnp.stack(new_cnn), new_fill
 
+    def stream_call_dyn(self, x: jnp.ndarray, mha_caches, cnn_caches,
+                        fill: jnp.ndarray, row_valid: jnp.ndarray,
+                        adv_mask: jnp.ndarray):
+        """Dynamic-count stack step for the fused decoder phase: real rows
+        marked by ``row_valid`` (holes allowed), the ``adv_mask`` subset
+        advances into every block's rings. Same every-block-sees-the-
+        same-masks structure as ``stream_call``."""
+        if self.cfg.scan_layers:
+            def body(block, carry, caches):
+                xc, fl = carry
+                mha_c, cnn_c = caches
+                out, new_mha, new_cnn = block.stream_call_dyn(
+                    xc, mha_c, cnn_c, fl, row_valid, adv_mask)
+                return (out, fl), (new_mha, new_cnn)
+
+            (out, _), (new_mha, new_cnn) = self._scan(body)(
+                self.block, (x.astype(jnp.float32), fill),
+                (mha_caches, cnn_caches))
+        else:
+            new_mha, new_cnn = [], []
+            out = x
+            for i, b in enumerate(self.blocks):
+                out, mha_c, cnn_c = b.stream_call_dyn(
+                    out, mha_caches[i], cnn_caches[i], fill, row_valid,
+                    adv_mask)
+                new_mha.append(mha_c)
+                new_cnn.append(cnn_c)
+            new_mha, new_cnn = jnp.stack(new_mha), jnp.stack(new_cnn)
+        new_fill = fill + jnp.sum(adv_mask, axis=1).astype(fill.dtype)
+        return out, new_mha, new_cnn, new_fill
+
     def init_caches(self, batch: int):
         # post-projection rings: K/V rows packed [.., wf, 2*H*hd] and
         # post-GLU conv rows [.., k-1, d], in the computation dtype (the
@@ -713,6 +871,14 @@ class ChunkCTCDecoder(nn.Module):
         return (self.fc(out.astype(jnp.float32)), out, new_mha, new_cnn,
                 new_fill)
 
+    def stream_call_dyn(self, x, mha_caches, cnn_caches, fill, row_valid,
+                        adv_mask):
+        y = self.project(x.astype(self.dtype))
+        out, new_mha, new_cnn, new_fill = self.stack.stream_call_dyn(
+            y, mha_caches, cnn_caches, fill, row_valid, adv_mask)
+        return (self.fc(out.astype(jnp.float32)), out, new_mha, new_cnn,
+                new_fill)
+
     def init_caches(self, batch: int):
         return self.stack.init_caches(batch)
 
@@ -746,6 +912,11 @@ class ContextHelper(nn.Module):
         out, new_mha, new_cnn, new_fill = self.stack.stream_call(
             x, mha_caches, cnn_caches, fill, skip)
         return out, new_mha, new_cnn, new_fill
+
+    def stream_call_dyn(self, x, mha_caches, cnn_caches, fill, row_valid,
+                        adv_mask):
+        return self.stack.stream_call_dyn(x, mha_caches, cnn_caches, fill,
+                                          row_valid, adv_mask)
 
     def init_caches(self, batch: int):
         return self.stack.init_caches(batch)
@@ -1031,6 +1202,102 @@ class ChunkConformer(nn.Module):
         return logits, provisional, n_final, new_caches
 
 
+    def _fused_decoder_phase(self, hidden: jnp.ndarray, keep: jnp.ndarray,
+                             dec: Dict[str, jnp.ndarray]):
+        """Vectorized decoder phase: one batched helper+decoder pass over
+        the whole chunk instead of ``t`` sequential micro-steps (the
+        profiled ~2.3 ms / ~180-kernel bottleneck of the serving tick,
+        docs/serving_tick_profile.md #4). Kept frames stay at their
+        original positions (``keep`` [B, t]); rings advance by
+        compacting gathers (``ring_append_dyn``) so per-stream-variable
+        pick counts never put garbage between real rows; attention is
+        real-index banded. State evolution and outputs are mathematically
+        identical to the sequential path — verified token-exact and
+        allclose-on-caches by tests/test_chunk_fused_decoder.py — but not
+        bit-identical (different matmul batching), so this is an opt-in
+        serving path (``model_config.fused_decoder: true``), off for the
+        CPU exact-parity suite.
+
+        Returns (char_ids [B, t] aligned to frame positions (-1 where no
+        final char), prov_ids [B, max(wb, 1)], new decoder caches).
+        """
+        c = self.cfg
+        if c.helper.lookahead:
+            raise ValueError(
+                "fused_decoder supports helper win_back == 0 only (the "
+                "shipped config); use the sequential path for helper "
+                "lookahead")
+        wb = c.decoder.lookahead
+        b, t = keep.shape
+        n = jnp.sum(keep, axis=1).astype(jnp.int32)
+
+        h_out, new_h_mha, new_h_cnn, new_h_fill = self.helper.stream_call_dyn(
+            hidden.astype(jnp.float32), dec["helper_mha"],
+            dec["helper_cnn"], dec["helper_fill"], keep, keep)
+
+        ring, rf = dec["ring"], jnp.minimum(
+            dec["ring_fill"].astype(jnp.int32), wb)
+        x_d = jnp.concatenate([ring, h_out.astype(ring.dtype)], axis=1)
+        ring_valid = jnp.arange(wb)[None, :] >= (wb - rf[:, None])
+        row_valid_d = jnp.concatenate([ring_valid, keep], axis=1)
+        n_adv = jnp.maximum(rf + n - wb, 0)
+        rank_d = jnp.cumsum(row_valid_d.astype(jnp.int32), axis=1) - 1
+        adv_mask = row_valid_d & (rank_d < n_adv[:, None])
+
+        logits, _, new_d_mha, new_d_cnn, new_d_fill = \
+            self.decoder.stream_call_dyn(
+                x_d, dec["dec_mha"], dec["dec_cnn"], dec["dec_fill"],
+                row_valid_d, adv_mask)
+
+        lc_d = left_compact_idx(row_valid_d)           # reals in order
+        # final chars: the first n_adv real rows exit with full lookahead
+        final_pos = lc_d[:, :t]
+        final_ids = jnp.argmax(jnp.take_along_axis(
+            logits, final_pos[..., None], axis=1), -1).astype(jnp.int32)
+        # re-align the k-th emission to the frame whose push triggered it
+        # (sequential parity): kept frame with kept-rank >= wb - rf emits
+        # emission #(rank - wb + rf)
+        k_rank = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+        emit_idx = jnp.clip(k_rank - wb + rf[:, None], 0, t - 1)
+        emits = keep & (k_rank >= (wb - rf)[:, None])
+        char_ids = jnp.where(
+            emits, jnp.take_along_axis(final_ids, emit_idx, axis=1), -1)
+
+        # pending ring: last min(rf + n, wb) reals of [ring ++ kept rows]
+        kept_rows = jnp.take_along_axis(
+            h_out.astype(ring.dtype), left_compact_idx(keep)[..., None],
+            axis=1)
+        new_ring = ring_append_dyn(ring, kept_rows, n)
+        new_rf = jnp.minimum(rf + n, wb)
+
+        # provisional: the pending reals' lookahead-truncated outputs,
+        # right-aligned like the sequential prov (all -1 when nothing was
+        # pushed this step)
+        if wb > 0:
+            pend_rank = n_adv[:, None] + jnp.arange(wb)[None, :]
+            pend_pos = jnp.take_along_axis(
+                lc_d, jnp.clip(pend_rank, 0, wb + t - 1), axis=1)
+            pend_ids = jnp.argmax(jnp.take_along_axis(
+                logits, pend_pos[..., None], axis=1), -1).astype(jnp.int32)
+            slot = jnp.arange(wb)[None, :]
+            slot_valid = slot >= (wb - new_rf[:, None])
+            src = jnp.clip(slot - (wb - new_rf)[:, None], 0, wb - 1)
+            prov_ids = jnp.where(
+                slot_valid & (n > 0)[:, None],
+                jnp.take_along_axis(pend_ids, src, axis=1), -1)
+        else:
+            prov_ids = jnp.full((b, 1), -1, jnp.int32)
+
+        new_dec = {
+            "helper_mha": new_h_mha, "helper_cnn": new_h_cnn,
+            "helper_fill": new_h_fill,
+            "dec_mha": new_d_mha, "dec_cnn": new_d_cnn,
+            "dec_fill": new_d_fill,
+            "ring": new_ring,
+            "ring_fill": new_rf.astype(dec["ring_fill"].dtype),
+        }
+        return char_ids, prov_ids, new_dec
+
     # -- fully fused streaming ---------------------------------------------
     def init_stream_caches(self, batch: int) -> Dict[str, jnp.ndarray]:
         caches = dict(self.init_picker_caches(batch))
@@ -1067,6 +1334,15 @@ class ChunkConformer(nn.Module):
         f_idx = jnp.arange(t)
         valid = f_idx >= (t - n_final[0])
         keep = (phone_ids != self.phone_blank) & valid
+
+        if self.cfg.fused_decoder:
+            char_ids_b, prov_ids_b, new_dec = self._fused_decoder_phase(
+                hidden, keep[None], dec_caches)
+            out_caches = dict(new_pk)
+            for k, v in new_dec.items():
+                out_caches[f"dec_{k}"] = v
+            return (phone_ids, char_ids_b[0], prov_ids_b[0], n_final,
+                    out_caches)
 
         prov_init = jnp.full((max(wb, 1),), -1, jnp.int32)
 
