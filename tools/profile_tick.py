@@ -38,6 +38,10 @@ def main():
                    help="lax.scan unroll factor for the layer scans "
                         "(stacked params kept; removes per-layer while "
                         "boundaries)")
+    p.add_argument("--fused_decoder", action="store_true",
+                   help="A/B: vectorized decoder phase "
+                        "(model_config.fused_decoder) instead of the "
+                        "t sequential micro-steps")
     p.add_argument("--unroll_layers", action="store_true",
                    help="scan_layers=False: unrolled block loops "
                         "(long compile, cached; measures the scan-carry "
@@ -64,7 +68,8 @@ def main():
 
     cfg = dataclasses.replace(
         base, encoder=st(base.encoder), picker=st(base.picker),
-        decoder=st(base.decoder), helper=st(base.helper))
+        decoder=st(base.decoder), helper=st(base.helper),
+        fused_decoder=args.fused_decoder)
     model = ChunkConformer(cfg, 231, 9161)
     S = args.streams
     rng = np.random.default_rng(0)
