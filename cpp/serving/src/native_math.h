@@ -23,8 +23,8 @@
 namespace asr {
 namespace math {
 
-constexpr float kLnEps = 1e-6f;   // flax LayerNorm default
-constexpr float kBnEps = 1e-5f;   // flax BatchNorm default
+constexpr float kLnEps = 1e-3f;   // Keras LayerNormalization default (model parity, round 5)
+constexpr float kBnEps = 1e-3f;   // Keras BatchNormalization default (model parity, round 5)
 
 // Branch-free polynomial expf (Cephes 2^k * 2^r split, ~2 ulp). glibc's
 // expf can't auto-vectorize (errno + table lookups); this one SIMD-lowers

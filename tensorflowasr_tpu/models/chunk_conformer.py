@@ -365,7 +365,7 @@ class ChunkMHSA(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.ln = nn.LayerNorm(dtype=jnp.float32, name="ln")
+        self.ln = nn.LayerNorm(epsilon=1e-3, dtype=jnp.float32, name="ln")
         self.mha = StreamableMHA(
             num_heads=self.num_heads, head_dim=self.head_size,
             out_features=self.dmodel, dtype=self.dtype, name="mha")
@@ -452,7 +452,7 @@ class ChunkConv(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.ln = nn.LayerNorm(dtype=jnp.float32, name="ln")
+        self.ln = nn.LayerNorm(epsilon=1e-3, dtype=jnp.float32, name="ln")
         self.pw_conv_1 = nn.Dense(2 * self.dmodel, dtype=self.dtype,
                                   kernel_init=keras_kernel_init(),
                                   name="pw_conv_1")
@@ -464,7 +464,8 @@ class ChunkConv(nn.Module):
         self.dw_pw = nn.Dense(2 * self.dmodel, dtype=self.dtype,
                               kernel_init=keras_kernel_init(),
                               name="dw_pw")
-        self.bn = nn.BatchNorm(dtype=jnp.float32, name="bn")
+        self.bn = nn.BatchNorm(epsilon=1e-3, dtype=jnp.float32,
+                                name="bn")
         self.pw_conv_2 = nn.Dense(self.dmodel, dtype=self.dtype,
                                   kernel_init=keras_kernel_init(),
                                   name="pw_conv_2")
@@ -560,7 +561,7 @@ class ChunkBlock(nn.Module):
                                dtype=self.dtype, name="conv_module")
         self.ffm2 = FFModule(c.dmodel, c.dropout, c.fc_factor,
                              dtype=self.dtype, name="ff_module_2")
-        self.ln = nn.LayerNorm(dtype=jnp.float32, name="ln")
+        self.ln = nn.LayerNorm(epsilon=1e-3, dtype=jnp.float32, name="ln")
 
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         x = self.ffm1(x, training)

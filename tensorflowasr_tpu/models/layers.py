@@ -15,6 +15,12 @@ Architectural parity with the reference blocks
 - PositionalEncoding  (layers/positional_encoding.py:19-53) interleaved sin/cos
 - RMHSAModule/RBlock  (:440-510) PE + cross-attention block for the Translator
 
+Norm parity: every reference conformer norm is a stock Keras layer —
+LayerNormalization(epsilon=1e-3) / BatchNormalization(epsilon=1e-3,
+momentum=0.99) — while flax defaults to 1e-6/1e-5; all LN/BN here pass
+epsilon=1e-3 explicitly (round-5 bisect item; the punc model keeps 1e-6
+because the reference punc_transformer.py:142-173 sets it explicitly).
+
 TPU notes: all matmuls run in ``dtype`` (bfloat16 by default in training)
 with float32 params and float32 layer/batch norms; convs are expressed as
 ``lax.conv_general_dilated`` through flax Conv so XLA can fuse and tile them
@@ -255,7 +261,7 @@ class FFModule(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
-        y = nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
+        y = nn.LayerNorm(epsilon=1e-3, dtype=jnp.float32, name="ln")(x)
         y = nn.Dense(4 * self.input_dim, dtype=self.dtype,
                      kernel_init=keras_kernel_init(), name="ffn1")(y)
         y = nn.swish(y)
@@ -275,7 +281,7 @@ class MHSAModule(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False,
                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        y = nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
+        y = nn.LayerNorm(epsilon=1e-3, dtype=jnp.float32, name="ln")(x)
         y = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads,
             qkv_features=self.head_size * self.num_heads,
@@ -298,7 +304,7 @@ class ConvModule(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
-        y = nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
+        y = nn.LayerNorm(epsilon=1e-3, dtype=jnp.float32, name="ln")(x)
         # pointwise Conv1D(2d, k=1) == Dense
         y = nn.Dense(2 * self.input_dim, dtype=self.dtype,
                      kernel_init=keras_kernel_init(), name="pw_conv_1")(y)
@@ -310,7 +316,7 @@ class ConvModule(nn.Module):
         y = nn.Dense(2 * self.input_dim, dtype=self.dtype,
                      kernel_init=keras_kernel_init(), name="dw_pw")(y)
         y = nn.BatchNorm(use_running_average=not training,
-                         dtype=jnp.float32, name="bn")(y)
+                         epsilon=1e-3, dtype=jnp.float32, name="bn")(y)
         y = nn.swish(y)
         y = nn.Dense(self.input_dim, dtype=self.dtype,
                      kernel_init=keras_kernel_init(), name="pw_conv_2")(y)
@@ -338,7 +344,7 @@ class ConformerBlock(nn.Module):
                        dtype=self.dtype, name="conv_module")(x, training)
         x = FFModule(self.input_dim, self.dropout, self.fc_factor,
                      dtype=self.dtype, name="ff_module_2")(x, training)
-        return nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
+        return nn.LayerNorm(epsilon=1e-3, dtype=jnp.float32, name="ln")(x)
 
 
 class ScannedConformerBlocks(nn.Module):
@@ -441,7 +447,7 @@ class RMHSAModule(nn.Module):
     def __call__(self, x: jnp.ndarray, enc: jnp.ndarray,
                  training: bool = False) -> jnp.ndarray:
         y = PositionalEncoding(dtype=self.dtype)(x)
-        y = nn.LayerNorm(dtype=jnp.float32, name="ln")(y)
+        y = nn.LayerNorm(epsilon=1e-3, dtype=jnp.float32, name="ln")(y)
         y = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads,
             qkv_features=self.head_size * self.num_heads,
@@ -478,4 +484,4 @@ class RBlock(nn.Module):
                        dtype=self.dtype, name="conv_module")(x, training)
         x = FFModule(self.input_dim, self.dropout, self.fc_factor,
                      dtype=self.dtype, name="ff_module_2")(x, training)
-        return nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
+        return nn.LayerNorm(epsilon=1e-3, dtype=jnp.float32, name="ln")(x)

@@ -26,8 +26,13 @@ Batch dict (static shapes):
   extra_phones [B, Le] i32, extra_phone_length [B] i32,
   extra_chars [B, Ue] i32, extra_char_length [B] i32.
 
-``max_pick`` (feature_pick capacity) is static — set it to the char-label
-pad length + margin.
+``max_pick`` (feature_pick capacity) is static per compiled program.
+``None`` (default) uses each batch's padded phone-label width — the
+reference's exact ``max_T`` semantics (:1041, feature_pick capacity =
+tf.shape(phone_labels)[1]), which also sets how much zero-frame slack
+the "padded" char CTC sees. A fixed int caps it explicitly (the
+round-1..4 behavior used 64, giving the char CTC ~3x the reference's
+padding slack on short-label corpora).
 """
 
 from __future__ import annotations
@@ -55,8 +60,10 @@ def _chunk_ctc_acc(labels: jnp.ndarray, decoded: jnp.ndarray) -> jnp.ndarray:
 
 
 def _loss_and_metrics(model: ChunkConformer, params, batch_stats, batch,
-                      dropout_rng, max_pick: int, training: bool,
+                      dropout_rng, max_pick, training: bool,
                       txt_ctc_length: str = "padded"):
+    if max_pick is None:   # reference max_T semantics (static per bucket)
+        max_pick = batch["phones"].shape[1]
     variables = {"params": params}
     if batch_stats is not None:
         variables["batch_stats"] = batch_stats
@@ -152,8 +159,8 @@ class ChunkTrainer(TrainerBase):
     lives in TrainerBase (mesh DP, orbax checkpoints, intervals)."""
 
     def __init__(self, config, num_phone_classes: int,
-                 num_char_classes: int, max_pick: int = 64, mesh=None,
-                 compute_dtype: str = "float32"):
+                 num_char_classes: int, max_pick: int | None = None,
+                 mesh=None, compute_dtype: str = "float32"):
         from tensorflowasr_tpu.models.chunk_conformer import (
             ChunkConformerConfig)
         from tensorflowasr_tpu.parallel import mesh as mesh_lib
@@ -198,7 +205,10 @@ class ChunkTrainer(TrainerBase):
             self.model, max_pick, txt_ctc_length=self.txt_ctc_length)
         self.eval_step = make_chunk_eval_step(
             self.model, max_pick, txt_ctc_length=self.txt_ctc_length)
-        self.predict_step = make_chunk_predict_step(self.model, max_pick)
+        # inference has no labels to derive a capacity from — a fixed
+        # 64-pick cap (far above any utterance's phone count here)
+        self.predict_step = make_chunk_predict_step(
+            self.model, max_pick if max_pick is not None else 64)
         self.log_interval = cfg_get(rc, "log_interval_steps", 100)
         self.save_interval = cfg_get(rc, "save_interval_steps", 500)
         self.eval_interval = cfg_get(rc, "eval_interval_steps", 500)
@@ -215,7 +225,9 @@ class ChunkTrainer(TrainerBase):
             jax.random.PRNGKey(seed),
             jnp.asarray(example_batch["wav"][:1]),
             jnp.asarray(example_batch["extra_phones"][:1]),
-            self.max_pick, False, method=ChunkConformer.train_forward)
+            self.max_pick if self.max_pick is not None
+            else example_batch["phones"].shape[1],
+            False, method=ChunkConformer.train_forward)
         state = ASRTrainState.create(
             apply_fn=self.model.apply, params=variables["params"],
             tx=self.tx, batch_stats=variables.get("batch_stats"))
@@ -223,7 +235,8 @@ class ChunkTrainer(TrainerBase):
         return self.state
 
 
-def make_chunk_predict_step(model: ChunkConformer, max_pick: int) -> Callable:
+def make_chunk_predict_step(model: ChunkConformer,
+                            max_pick: int = 64) -> Callable:
     """(state, wav) -> (char_ids, char_lens, phone_ids, phone_lens):
     offline chunk inference (chunk_tester.py:33-72 semantics)."""
     char_blank = model.num_char_classes - 1
