@@ -208,7 +208,8 @@ class ChunkTrainer(TrainerBase):
         # inference has no labels to derive a capacity from — a fixed
         # 64-pick cap (far above any utterance's phone count here)
         self.predict_step = make_chunk_predict_step(
-            self.model, max_pick if max_pick is not None else 64)
+            self.model, max_pick if max_pick is not None else 64,
+            txt_decode_length=self.txt_ctc_length)
         self.log_interval = cfg_get(rc, "log_interval_steps", 100)
         self.save_interval = cfg_get(rc, "save_interval_steps", 500)
         self.eval_interval = cfg_get(rc, "eval_interval_steps", 500)
@@ -235,10 +236,17 @@ class ChunkTrainer(TrainerBase):
         return self.state
 
 
-def make_chunk_predict_step(model: ChunkConformer,
-                            max_pick: int = 64) -> Callable:
+def make_chunk_predict_step(model: ChunkConformer, max_pick: int = 64,
+                            txt_decode_length: str = "padded") -> Callable:
     """(state, wav) -> (char_ids, char_lens, phone_ids, phone_lens):
-    offline chunk inference (chunk_tester.py:33-72 semantics)."""
+    offline chunk inference (chunk_tester.py:33-72 semantics).
+
+    ``txt_decode_length`` "padded" decodes the char CTC over the FULL
+    picked capacity — the reference tester's new_inp_length =
+    ctc_output.shape[1] (chunk_tester.py:39), required when training fed
+    padded lengths (the model may place a char in the slack region;
+    count-truncated decode drops it as a deletion). "picked" truncates
+    at per-example picked counts (pairs with txt_ctc_length: picked)."""
     char_blank = model.num_char_classes - 1
     phone_blank = model.num_phone_classes - 1
 
@@ -248,7 +256,11 @@ def make_chunk_predict_step(model: ChunkConformer,
             variables["batch_stats"] = state.batch_stats
         char_logits, phone_logits, counts = model.apply(
             variables, wav, max_pick, method=ChunkConformer.predict)
-        char_ids, char_lens = ctc_greedy_decode(char_logits, counts,
+        if txt_decode_length == "padded":
+            dec_len = jnp.full_like(counts, char_logits.shape[1])
+        else:
+            dec_len = counts
+        char_ids, char_lens = ctc_greedy_decode(char_logits, dec_len,
                                                 blank_id=char_blank)
         phone_ids, phone_lens = ctc_greedy_decode(
             phone_logits, input_length, blank_id=phone_blank)
