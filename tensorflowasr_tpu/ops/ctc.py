@@ -35,14 +35,15 @@ def _interleave_blanks(labels: jnp.ndarray, blank_id: int) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("blank_id", "logits_time_major",
-                                              "zero_infinity"))
+                                              "zero_infinity", "prob_floor"))
 def ctc_loss(logits: jnp.ndarray,
              logit_lengths: jnp.ndarray,
              labels: jnp.ndarray,
              label_lengths: jnp.ndarray,
              blank_id: int,
              logits_time_major: bool = False,
-             zero_infinity: bool = True) -> jnp.ndarray:
+             zero_infinity: bool = True,
+             prob_floor: float = 0.0) -> jnp.ndarray:
     """Per-example negative log likelihood, shape [B].
 
     Args:
@@ -55,10 +56,20 @@ def ctc_loss(logits: jnp.ndarray,
       zero_infinity: zero the loss of infeasible examples (logit length too
         short for the label) instead of returning ~1e30 — keeps training
         stable when an upstream length regulator under-picks frames.
+      prob_floor: floor per-frame probabilities at this value before the
+        log, i.e. logp = log(softmax(x) + prob_floor). The reference's
+        keras ctc_batch_cost computes log(y_pred + keras epsilon) with
+        epsilon = 1e-7 (tf.keras.backend.ctc_label_dense_to_sparse path),
+        capping any frame's -logp at ~16.1 and thereby softening
+        gradients on confidently-wrong frames; pass 1e-7 for exact
+        reference training-dynamics parity, 0 for the clean CTC.
     """
     if logits_time_major:
         logits = jnp.transpose(logits, (1, 0, 2))
     logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    if prob_floor:
+        # log(p + floor) without materializing probabilities
+        logprobs = jnp.logaddexp(logprobs, jnp.log(prob_floor))
     b, t, _ = logprobs.shape
     l = labels.shape[1]
     s = 2 * l + 1

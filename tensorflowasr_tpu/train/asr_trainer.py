@@ -103,8 +103,10 @@ def _loss_and_metrics(model: ConformerCTC, params, batch_stats, batch,
         enc, ctc_logits, decoded, label_out, ctc_out = out
         new_batch_stats = None
 
+    # prob_floor 1e-7: keras ctc_batch_cost computes log(p + epsilon) —
+    # reference training-dynamics parity (see ops/ctc.py docstring)
     per_ex_ctc = ctc_loss(ctc_logits, input_length, phones, phone_length,
-                          blank_id=blank_id)
+                          blank_id=blank_id, prob_floor=1e-7)
 
     tl_label = mask_loss(chars, label_out[:, :u])
     tl_ctc = mask_loss(chars, ctc_out[:, :u])

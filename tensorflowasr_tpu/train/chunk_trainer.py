@@ -83,9 +83,10 @@ def _loss_and_metrics(model: ChunkConformer, params, batch_stats, batch,
     phone_blank = model.num_phone_classes - 1
     char_blank = model.num_char_classes - 1
 
+    # prob_floor 1e-7 on all three CTC terms: keras ctc_batch_cost parity
     phone_loss = ctc_loss(fwd["phone_logits"], batch["input_length"],
                           batch["phones"], batch["phone_length"],
-                          blank_id=phone_blank)
+                          blank_id=phone_blank, prob_floor=1e-7)
     if txt_ctc_length == "padded":
         # reference parity (:1052-1056): every example's char CTC sees the
         # full picked capacity T, not its own picked count
@@ -95,10 +96,10 @@ def _loss_and_metrics(model: ChunkConformer, params, batch_stats, batch,
         txt_len = fwd["picked_counts"]
     txt_loss = ctc_loss(fwd["txt_logits"], txt_len,
                         batch["chars"], batch["char_length"],
-                        blank_id=char_blank)
+                        blank_id=char_blank, prob_floor=1e-7)
     help_loss = ctc_loss(fwd["help_logits"], batch["extra_phone_length"],
                          batch["extra_chars"], batch["extra_char_length"],
-                         blank_id=char_blank)
+                         blank_id=char_blank, prob_floor=1e-7)
     total = jnp.mean(phone_loss + txt_loss + help_loss)
 
     phone_dec, _ = ctc_greedy_decode(fwd["phone_logits"],
