@@ -298,24 +298,37 @@ def run_chunk(args):
     # train_step divides metrics by the strategy's replica count; outside
     # fit() the attribute is unset
     model._distribution_strategy = tf.distribute.get_strategy()
-    step_fn = tf.function(lambda data: model.train_step((data,)),
-                          reduce_retracing=True)
-    for step in range(args.total_steps):
-        batch = dg.generate(True)
-        logs = step_fn(tuple(tf.constant(a) for a in batch))
-        if step % 100 == 0 or step == args.total_steps - 1:
-            print(f"step {step}: " + ", ".join(
-                f"{k}={float(v):.4f}" for k, v in logs.items()),
-                flush=True)
     ckpt_dir = os.path.join(args.out_dir, "logs", "all-ckpt")
     os.makedirs(ckpt_dir, exist_ok=True)
-    model.save_weights(os.path.join(ckpt_dir, "ckpt-final"))
+    if args.eval_ckpt:
+        # eval-only mode: score a previously saved snapshot (from
+        # --save_every) — lets a long extended-budget run be harvested
+        # at any milestone. Weights are loaded onto the TESTER's runner
+        # below (tester.compile() loads latest_checkpoint; we override).
+        eval_steps = args.total_steps
+    else:
+        step_fn = tf.function(lambda data: model.train_step((data,)),
+                              reduce_retracing=True)
+        for step in range(args.total_steps):
+            batch = dg.generate(True)
+            logs = step_fn(tuple(tf.constant(a) for a in batch))
+            if step % 100 == 0 or step == args.total_steps - 1:
+                print(f"step {step}: " + ", ".join(
+                    f"{k}={float(v):.4f}" for k, v in logs.items()),
+                    flush=True)
+            if args.save_every and (step + 1) % args.save_every == 0:
+                model.save_weights(
+                    os.path.join(ckpt_dir, f"ckpt-step{step + 1}"))
+        model.save_weights(os.path.join(ckpt_dir, "ckpt-final"))
+        eval_steps = args.total_steps
 
     # re-read: Augmentation.parse mutates the shared config (pops
     # 'active') — see upstream bug 5 note in main()'s eval stage
     config = UserConfig(data_yml, model_yml)
     tester = chunk_tester.AMTester(config)
     tester.compile()
+    if args.eval_ckpt:
+        tester.runner.load_weights(args.eval_ckpt).expect_partial()
     dg_eval = Chunk_DataLoader(config, training=False)
     n_batches = max(1, -(-len(dg_eval.test_list) // args.batch))
     for _ in range(n_batches):
@@ -326,10 +339,11 @@ def run_chunk(args):
               for k, v in tester.eval_metrics.items()}
     result["framework"] = "reference"
     result["model_family"] = "chunk"
-    result["total_steps"] = args.total_steps
+    result["total_steps"] = eval_steps
     result["batch"] = args.batch
-    result["params"] = int(sum(int(tf.size(w))
-                               for w in model.trainable_weights))
+    result["params"] = int(sum(
+        int(tf.size(w)) for w in
+        (tester.runner if args.eval_ckpt else model).trainable_weights))
     out = os.path.join(args.out_dir, "result.json")
     with open(out, "w") as f:
         json.dump(result, f, indent=2)
@@ -370,6 +384,17 @@ def main(argv=None):
     p.add_argument("--noise_list", default=None,
                    help="noise wav list for the SignalNoise augmenter "
                         "(the corpus generator's noise.list)")
+    p.add_argument("--save_every", type=int, default=0,
+                   help="(chunk family) also save weights every N steps "
+                        "so an extended run can be harvested mid-way")
+    p.add_argument("--eval_ckpt", default=None,
+                   help="(chunk family) skip training; load these saved "
+                        "weights and eval (pass the step count as "
+                        "--total_steps so the result is labeled right)")
+    p.add_argument("--eval_only", action="store_true",
+                   help="(offline/streaming) skip training; eval the "
+                        "newest model_<step>.h5 snapshot in out_dir — "
+                        "harvests a partially-completed leg")
     args = p.parse_args(argv)
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -397,28 +422,29 @@ def main(argv=None):
     data_yml, model_yml = write_configs(args)
     config = UserConfig(data_yml, model_yml)
 
-    # ---- train (reference train_asr.py AM_Trainer mode-1 flow) ----
-    dg = AM_DataLoader(config)
-    runner = ctc_runners.CTCTrainer(config)
-    runner.set_total_train_steps(args.total_steps)
-    runner.compile()
-    dg.batch = runner.global_batch_size
+    if not args.eval_only:
+        # ---- train (reference train_asr.py AM_Trainer mode-1 flow) ----
+        dg = AM_DataLoader(config)
+        runner = ctc_runners.CTCTrainer(config)
+        runner.set_total_train_steps(args.total_steps)
+        runner.compile()
+        dg.batch = runner.global_batch_size
 
-    option = tf.data.Options()
-    option.experimental_distribute.auto_shard_policy = \
-        tf.data.experimental.AutoShardPolicy.DATA
-    train_ds = tf.data.Dataset.from_generator(
-        dg.generator, dg.return_data_types(), dg.return_data_shape(),
-        args=(True,)).with_options(option)
-    eval_ds = tf.data.Dataset.from_generator(
-        dg.generator, dg.return_data_types(), dg.return_data_shape(),
-        args=(False,)).with_options(option)
-    runner.set_datasets(train_ds, eval_ds)
-    while 1:
-        runner.fit(epoch=dg.epochs)
-        if runner._finished():
-            runner.save_checkpoint()
-            break
+        option = tf.data.Options()
+        option.experimental_distribute.auto_shard_policy = \
+            tf.data.experimental.AutoShardPolicy.DATA
+        train_ds = tf.data.Dataset.from_generator(
+            dg.generator, dg.return_data_types(), dg.return_data_shape(),
+            args=(True,)).with_options(option)
+        eval_ds = tf.data.Dataset.from_generator(
+            dg.generator, dg.return_data_types(), dg.return_data_shape(),
+            args=(False,)).with_options(option)
+        runner.set_datasets(train_ds, eval_ds)
+        while 1:
+            runner.fit(epoch=dg.epochs)
+            if runner._finished():
+                runner.save_checkpoint()
+                break
 
     # ---- eval (reference eval_am.py flow, test split) ----
     # upstream bug 5: Augmentation.parse MUTATES the config (pops
@@ -441,7 +467,21 @@ def main(argv=None):
               for k, v in tester.eval_metrics.items()}
     result["framework"] = "reference"
     result["model_family"] = "streaming" if args.streaming else "offline"
-    result["total_steps"] = args.total_steps
+    steps_done = args.total_steps
+    if args.eval_only:
+        # label the result with the step of the snapshot the tester
+        # actually loaded (newest model_<step>.h5 under out_dir)
+        snaps = []
+        for root, _dirs, files in os.walk(args.out_dir):
+            for fn in files:
+                if fn.startswith("model_") and fn.endswith(".h5"):
+                    try:
+                        snaps.append(int(fn[len("model_"):-len(".h5")]))
+                    except ValueError:
+                        pass
+        if snaps:
+            steps_done = max(snaps)
+    result["total_steps"] = steps_done
     result["batch"] = args.batch
     result["params"] = int(sum(
         int(tf.size(w)) for m in (tester.encoder, tester.ctc_model,
