@@ -928,15 +928,21 @@ class ContextHelper(nn.Module):
 # ---------------------------------------------------------------------------
 
 def feature_pick(hidden: jnp.ndarray, ctc_logits: jnp.ndarray,
-                 blank_id: int, max_out: int
+                 blank_id: int, max_out: int | None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Keep frames whose argmax phone is non-blank (:913-999), compacted to
     the front of a static [B, max_out, ...] buffer, zero padded.
 
     Returns (picked_hidden [B, max_out, d], picked_ctc [B, max_out, V],
-    counts [B]). Frames beyond ``max_out`` kept frames are dropped (the
-    reference grows dynamically; label-length-scaled capacity is plenty).
+    counts [B]). ``max_out=None`` uses the full frame count — capacity can
+    then never truncate a pick, matching the reference's dynamically-grown
+    buffer (:920-923, max_durations >= every row's non-blank count); the
+    VALUE-dynamic part of the reference's T lives in the callers' CTC
+    lengths, keeping shapes static for XLA. An int cap drops frames beyond
+    the first ``max_out`` kept (serving paths with fixed budgets).
     """
+    if max_out is None:
+        max_out = hidden.shape[1]
     ids = jnp.argmax(ctc_logits, axis=-1)
     keep = ids != blank_id                                        # [B, T]
     order = jnp.argsort(~keep, axis=1, stable=True)[:, :max_out]  # [B, max_out]

@@ -27,12 +27,16 @@ Batch dict (static shapes):
   extra_chars [B, Ue] i32, extra_char_length [B] i32.
 
 ``max_pick`` (feature_pick capacity) is static per compiled program.
-``None`` (default) uses each batch's padded phone-label width — the
-reference's exact ``max_T`` semantics (:1041, feature_pick capacity =
-tf.shape(phone_labels)[1]), which also sets how much zero-frame slack
-the "padded" char CTC sees. A fixed int caps it explicitly (the
-round-1..4 behavior used 64, giving the char CTC ~3x the reference's
-padding slack on short-label corpora).
+``None`` (default) reproduces the reference exactly: the pick buffer can
+hold EVERY encoder frame, so no pick is ever truncated (the reference
+grows its buffer to max(actual per-row pick counts, padded label width),
+:920-923 — mid-training the picker emits far more non-blank frames than
+the label width, so a label-width cap silently drops acoustic frames
+from the char branch), and the "padded" char-CTC input length carries
+the value-dynamic part of the reference's T = max(batch max picked
+count, padded phone-label width) (:1041, :1052-1056). A fixed int caps
+the buffer explicitly (serving-style budget; rounds 1..4 trained with
+caps of 64 and label-width and both truncated mid-training picks).
 """
 
 from __future__ import annotations
@@ -62,8 +66,10 @@ def _chunk_ctc_acc(labels: jnp.ndarray, decoded: jnp.ndarray) -> jnp.ndarray:
 def _loss_and_metrics(model: ChunkConformer, params, batch_stats, batch,
                       dropout_rng, max_pick, training: bool,
                       txt_ctc_length: str = "padded"):
-    if max_pick is None:   # reference max_T semantics (static per bucket)
-        max_pick = batch["phones"].shape[1]
+    # max_pick None = reference semantics: pick capacity can never truncate
+    # (feature_pick uses all encoder frames; the reference grows its buffer
+    # to max(actual picks, label width), :920-923) — the dynamic part of
+    # the reference's T is carried by the CTC input lengths below.
     variables = {"params": params}
     if batch_stats is not None:
         variables["batch_stats"] = batch_stats
@@ -88,10 +94,14 @@ def _loss_and_metrics(model: ChunkConformer, params, batch_stats, batch,
                           batch["phones"], batch["phone_length"],
                           blank_id=phone_blank, prob_floor=1e-7)
     if txt_ctc_length == "padded":
-        # reference parity (:1052-1056): every example's char CTC sees the
-        # full picked capacity T, not its own picked count
-        txt_len = jnp.full_like(fwd["picked_counts"],
-                                fwd["txt_logits"].shape[1])
+        # reference parity (:1041, :920-923, :1052-1056): every example's
+        # char CTC sees the same input length T = max(batch max picked
+        # count, padded phone-label width) — value-dynamic, shape-static
+        t_ref = jnp.clip(
+            jnp.maximum(jnp.max(fwd["picked_counts"]),
+                        batch["phones"].shape[1]),
+            0, fwd["txt_logits"].shape[1])
+        txt_len = jnp.full_like(fwd["picked_counts"], t_ref)
     else:
         txt_len = fwd["picked_counts"]
     txt_loss = ctc_loss(fwd["txt_logits"], txt_len,
@@ -105,7 +115,7 @@ def _loss_and_metrics(model: ChunkConformer, params, batch_stats, batch,
     phone_dec, _ = ctc_greedy_decode(fwd["phone_logits"],
                                      batch["input_length"],
                                      blank_id=phone_blank)
-    txt_dec, _ = ctc_greedy_decode(fwd["txt_logits"], fwd["picked_counts"],
+    txt_dec, _ = ctc_greedy_decode(fwd["txt_logits"], txt_len,
                                    blank_id=char_blank)
     help_dec, _ = ctc_greedy_decode(fwd["help_logits"],
                                     batch["extra_phone_length"],
@@ -206,11 +216,10 @@ class ChunkTrainer(TrainerBase):
             self.model, max_pick, txt_ctc_length=self.txt_ctc_length)
         self.eval_step = make_chunk_eval_step(
             self.model, max_pick, txt_ctc_length=self.txt_ctc_length)
-        # inference has no labels to derive a capacity from — a fixed
-        # 64-pick cap (far above any utterance's phone count here)
+        # inference: None = all encoder frames can be picked (the
+        # reference's eval feature_pick has no cap at all, predict :820)
         self.predict_step = make_chunk_predict_step(
-            self.model, max_pick if max_pick is not None else 64,
-            txt_decode_length=self.txt_ctc_length)
+            self.model, max_pick, txt_decode_length=self.txt_ctc_length)
         self.log_interval = cfg_get(rc, "log_interval_steps", 100)
         self.save_interval = cfg_get(rc, "save_interval_steps", 500)
         self.eval_interval = cfg_get(rc, "eval_interval_steps", 500)
@@ -227,8 +236,7 @@ class ChunkTrainer(TrainerBase):
             jax.random.PRNGKey(seed),
             jnp.asarray(example_batch["wav"][:1]),
             jnp.asarray(example_batch["extra_phones"][:1]),
-            self.max_pick if self.max_pick is not None
-            else example_batch["phones"].shape[1],
+            self.max_pick,
             False, method=ChunkConformer.train_forward)
         state = ASRTrainState.create(
             apply_fn=self.model.apply, params=variables["params"],
@@ -237,15 +245,18 @@ class ChunkTrainer(TrainerBase):
         return self.state
 
 
-def make_chunk_predict_step(model: ChunkConformer, max_pick: int = 64,
+def make_chunk_predict_step(model: ChunkConformer,
+                            max_pick: int | None = None,
                             txt_decode_length: str = "padded") -> Callable:
     """(state, wav) -> (char_ids, char_lens, phone_ids, phone_lens):
     offline chunk inference (chunk_tester.py:33-72 semantics).
 
-    ``txt_decode_length`` "padded" decodes the char CTC over the FULL
-    picked capacity — the reference tester's new_inp_length =
-    ctc_output.shape[1] (chunk_tester.py:39), required when training fed
-    padded lengths (the model may place a char in the slack region;
+    ``max_pick=None`` lets every non-blank frame be picked (reference eval
+    feature_pick has no cap, predict :820). ``txt_decode_length`` "padded"
+    decodes the char CTC over the reference tester's new_inp_length =
+    ctc_output.shape[1] (chunk_tester.py:39) — with an uncapped pick that
+    T is the batch's max picked count — required when training fed padded
+    lengths (the model may place a char in the slack region;
     count-truncated decode drops it as a deletion). "picked" truncates
     at per-example picked counts (pairs with txt_ctc_length: picked)."""
     char_blank = model.num_char_classes - 1
@@ -258,7 +269,10 @@ def make_chunk_predict_step(model: ChunkConformer, max_pick: int = 64,
         char_logits, phone_logits, counts = model.apply(
             variables, wav, max_pick, method=ChunkConformer.predict)
         if txt_decode_length == "padded":
-            dec_len = jnp.full_like(counts, char_logits.shape[1])
+            # reference T: the pick buffer is grown to the batch max count
+            # at eval (no label term); decode every row over that width
+            dec_len = jnp.full_like(
+                counts, jnp.clip(jnp.max(counts), 1, char_logits.shape[1]))
         else:
             dec_len = counts
         char_ids, char_lens = ctc_greedy_decode(char_logits, dec_len,
