@@ -371,9 +371,16 @@ class ChunkMHSA(nn.Module):
             out_features=self.dmodel, dtype=self.dtype, name="mha")
         self.do = nn.Dropout(self.dropout)
 
-    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, training: bool = False,
+                 t_valid=None) -> jnp.ndarray:
         t = x.shape[1]
         mask = chunk_band_mask(t, self.win_front, self.win_back)[None, None]
+        if t_valid is not None:
+            # emulate a width-t_valid buffer (reference grows its pick
+            # buffer dynamically): keys at positions >= t_valid do not
+            # exist there, so ban them here (win_back can otherwise leak
+            # them into the last valid rows)
+            mask = mask & (jnp.arange(t) < t_valid)[None, None, None, :]
         y = self.ln(x)
         y = self.mha(y, inputs_k=y, inputs_v=y, mask=mask)
         y = self.do(y, deterministic=not training)
@@ -472,7 +479,7 @@ class ChunkConv(nn.Module):
         self.do = nn.Dropout(self.dropout)
 
     def _body(self, x: jnp.ndarray, training: bool,
-              conv_in_valid=None) -> jnp.ndarray:
+              conv_in_valid=None, t_valid=None) -> jnp.ndarray:
         y = self.ln(x)
         y = self.pw_conv_1(y)
         y = glu(y)
@@ -480,13 +487,21 @@ class ChunkConv(nn.Module):
             y = jnp.where(conv_in_valid[..., None], y, 0.0)
         y = self.dw_conv(y)
         y = self.dw_pw(y)
-        y = self.bn(y, use_running_average=not training)
+        if t_valid is not None:
+            # width-t_valid buffer emulation: positions past t_valid do
+            # not exist in the reference's dynamically-sized pick buffer,
+            # so they must not contribute to the batch statistics
+            bn_mask = (jnp.arange(y.shape[1]) < t_valid)[None, :, None]
+            y = self.bn(y, use_running_average=not training, mask=bn_mask)
+        else:
+            y = self.bn(y, use_running_average=not training)
         y = nn.swish(y)
         y = self.pw_conv_2(y)
         return self.do(y, deterministic=not training)
 
-    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
-        return x + self._body(x, training)
+    def __call__(self, x: jnp.ndarray, training: bool = False,
+                 t_valid=None) -> jnp.ndarray:
+        return x + self._body(x, training, t_valid=t_valid)
 
     def stream_call(self, x: jnp.ndarray, cache: jnp.ndarray,
                     valid: jnp.ndarray, keep: jnp.ndarray
@@ -563,10 +578,11 @@ class ChunkBlock(nn.Module):
                              dtype=self.dtype, name="ff_module_2")
         self.ln = nn.LayerNorm(epsilon=1e-3, dtype=jnp.float32, name="ln")
 
-    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, training: bool = False,
+                 t_valid=None) -> jnp.ndarray:
         x = self.ffm1(x, training)
-        x = self.mhsam(x, training)
-        x = self.convm(x, training)
+        x = self.mhsam(x, training, t_valid=t_valid)
+        x = self.convm(x, training, t_valid=t_valid)
         x = self.ffm2(x, training)
         return self.ln(x)
 
@@ -748,17 +764,18 @@ class ChunkStack(nn.Module):
             length=self.cfg.num_blocks,
             unroll=max(1, min(self.cfg.scan_unroll, self.cfg.num_blocks)))
 
-    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, training: bool = False,
+                 t_valid=None) -> jnp.ndarray:
         if self.cfg.scan_layers:
             def body(block, carry, _):
-                return block(carry, training), None
+                return block(carry, training, t_valid=t_valid), None
 
             # blocks end in f32 LN -> f32 inter-block carry
             out, _ = self._scan(body)(self.block,
                                       x.astype(jnp.float32), None)
             return out
         for b in self.blocks:
-            x = b(x, training)
+            x = b(x, training, t_valid=t_valid)
         return x
 
     def stream_call(self, x: jnp.ndarray, mha_caches, cnn_caches,
@@ -861,8 +878,10 @@ class ChunkCTCDecoder(nn.Module):
                            kernel_init=keras_kernel_init(),
                            name="fully_connected")
 
-    def __call__(self, x: jnp.ndarray, training: bool = False):
-        hidden = self.stack(self.project(x.astype(self.dtype)), training)
+    def __call__(self, x: jnp.ndarray, training: bool = False,
+                 t_valid=None):
+        hidden = self.stack(self.project(x.astype(self.dtype)), training,
+                            t_valid=t_valid)
         return self.fc(hidden.astype(jnp.float32)), hidden
 
     def stream_call(self, x: jnp.ndarray, mha_caches, cnn_caches, fill, skip):
@@ -899,8 +918,9 @@ class ContextHelper(nn.Module):
                                       name="sample_helper")
         self.stack = ChunkStack(self.cfg, dtype=self.dtype, name="stack")
 
-    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
-        return self.stack(x, training)
+    def __call__(self, x: jnp.ndarray, training: bool = False,
+                 t_valid=None) -> jnp.ndarray:
+        return self.stack(x, training, t_valid=t_valid)
 
     def phone_call(self, phone_ids: jnp.ndarray, training: bool = False):
         emb = self.sample_helper(phone_ids)
@@ -998,34 +1018,54 @@ class ChunkConformer(nn.Module):
         return self.phone_picker(enc, training)
 
     def train_forward(self, wav: jnp.ndarray, extra_phones: jnp.ndarray,
-                      max_pick: int, training: bool = True):
+                      max_pick: int | None, training: bool = True,
+                      label_width: int | None = None):
         """Full 3-branch forward (train_step :1034-1083).
 
+        With ``max_pick=None`` + ``label_width`` (padded phone-label
+        width), the reference's dynamically-sized pick buffer (:920-923,
+        T = max(batch max picked count, label width)) is emulated exactly
+        on static shapes: the buffer holds every encoder frame, and the
+        helper/decoder stacks run width-T semantics via ``t_valid``
+        (attention keys and BN statistics stop at T). ``t_ref`` in the
+        returned dict is that T (None when a fixed cap is given).
+
         Returns dict with phone_logits [B,T,Vp], picked_counts [B],
-        txt_logits [B,max_pick,Vc] (decoder on helper(picked)), help_logits
-        [B,Ue,Vc] (decoder on helper.phone_call(extra_phones))."""
+        txt_logits [B,cap,Vc] (decoder on helper(picked)), help_logits
+        [B,Ue,Vc] (decoder on helper.phone_call(extra_phones)), t_ref."""
         phone_logits, hidden = self.encode_to_phones(wav, training)
         picked_f, _, picked_counts = feature_pick(
             hidden, phone_logits, self.phone_blank, max_pick)
+        t_ref = None
+        if max_pick is None and label_width is not None:
+            t_ref = jnp.clip(
+                jnp.maximum(jnp.max(picked_counts), label_width),
+                1, picked_f.shape[1])
         _, helper_out = self.helper.phone_call(extra_phones, training)
-        picked_help = self.helper(picked_f, training)
-        txt_logits, _ = self.decoder(picked_help, training)
+        picked_help = self.helper(picked_f, training, t_valid=t_ref)
+        txt_logits, _ = self.decoder(picked_help, training, t_valid=t_ref)
         help_logits, _ = self.decoder(helper_out, training)
         return {
             "phone_logits": phone_logits,
             "picked_counts": picked_counts,
             "txt_logits": txt_logits,
             "help_logits": help_logits,
+            "t_ref": t_ref,
         }
 
-    def predict(self, wav: jnp.ndarray, max_pick: int):
+    def predict(self, wav: jnp.ndarray, max_pick: int | None):
         """Offline inference (reference predict :816-823): char logits over
-        the picked frames + phone logits + picked counts."""
+        the picked frames + phone logits + picked counts. ``None`` = the
+        reference's uncapped eval pick (T = batch max picked count),
+        emulated via ``t_valid`` width semantics."""
         phone_logits, hidden = self.encode_to_phones(wav, False)
         picked_f, _, counts = feature_pick(
             hidden, phone_logits, self.phone_blank, max_pick)
-        help_out = self.helper(picked_f, False)
-        char_logits, _ = self.decoder(help_out, False)
+        t_ref = None
+        if max_pick is None:
+            t_ref = jnp.clip(jnp.max(counts), 1, picked_f.shape[1])
+        help_out = self.helper(picked_f, False, t_valid=t_ref)
+        char_logits, _ = self.decoder(help_out, False, t_valid=t_ref)
         return char_logits, phone_logits, counts
 
     # -- streaming --------------------------------------------------------

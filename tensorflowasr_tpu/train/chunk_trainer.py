@@ -78,7 +78,8 @@ def _loss_and_metrics(model: ChunkConformer, params, batch_stats, batch,
     rngs = {"dropout": dropout_rng} if training else None
 
     out = model.apply(variables, batch["wav"], batch["extra_phones"],
-                      max_pick, training=training, rngs=rngs,
+                      max_pick, training=training,
+                      label_width=batch["phones"].shape[1], rngs=rngs,
                       mutable=mutable, method=ChunkConformer.train_forward)
     if mutable:
         fwd, new_vars = out
@@ -96,11 +97,10 @@ def _loss_and_metrics(model: ChunkConformer, params, batch_stats, batch,
     if txt_ctc_length == "padded":
         # reference parity (:1041, :920-923, :1052-1056): every example's
         # char CTC sees the same input length T = max(batch max picked
-        # count, padded phone-label width) — value-dynamic, shape-static
-        t_ref = jnp.clip(
-            jnp.maximum(jnp.max(fwd["picked_counts"]),
-                        batch["phones"].shape[1]),
-            0, fwd["txt_logits"].shape[1])
+        # count, padded phone-label width) — value-dynamic, shape-static;
+        # the forward already ran width-T semantics (t_valid)
+        t_ref = (fwd["t_ref"] if fwd.get("t_ref") is not None
+                 else jnp.asarray(fwd["txt_logits"].shape[1]))
         txt_len = jnp.full_like(fwd["picked_counts"], t_ref)
     else:
         txt_len = fwd["picked_counts"]
@@ -237,7 +237,8 @@ class ChunkTrainer(TrainerBase):
             jnp.asarray(example_batch["wav"][:1]),
             jnp.asarray(example_batch["extra_phones"][:1]),
             self.max_pick,
-            False, method=ChunkConformer.train_forward)
+            False, label_width=example_batch["phones"].shape[1],
+            method=ChunkConformer.train_forward)
         state = ASRTrainState.create(
             apply_fn=self.model.apply, params=variables["params"],
             tx=self.tx, batch_stats=variables.get("batch_stats"))

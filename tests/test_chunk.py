@@ -343,3 +343,42 @@ def test_fused_stream_step_with_lookahead_everywhere():
                                       np.asarray(pk_n_final))
         np.testing.assert_array_equal(
             np.asarray(phone_ids), np.argmax(np.asarray(logits)[0], -1))
+
+
+def test_t_valid_equals_literal_width():
+    """Width-T emulation (t_valid over a wider static buffer) must equal a
+    literally-T-wide forward — the reference's dynamically-grown pick
+    buffer (:920-923) run on static shapes. Covers attention key masking
+    (win_back leakage), masked BN statistics, and causal conv."""
+    cfg = tiny_cfg(dec_win_back=2)
+    dec_cfg = cfg.decoder
+    from tensorflowasr_tpu.models.chunk_conformer import ChunkCTCDecoder
+
+    dec = ChunkCTCDecoder(dec_cfg, N_CHAR)
+    rng = np.random.default_rng(3)
+    cap, t, d = 24, 9, dec_cfg.dmodel
+    x_full = rng.standard_normal((2, cap, d)).astype(np.float32)
+    x_full[:, t:] = 0.0                      # buffer slack rows are zero
+    x_narrow = x_full[:, :t]
+
+    variables = dec.init(jax.random.PRNGKey(1), jnp.asarray(x_narrow))
+
+    for training in (False, True):
+        kw = dict(mutable=["batch_stats"], rngs={}) if training else {}
+        out_n = dec.apply(variables, jnp.asarray(x_narrow),
+                          training=training, **kw)
+        out_w = dec.apply(variables, jnp.asarray(x_full),
+                          training=training, t_valid=jnp.asarray(t), **kw)
+        if training:
+            (logits_n, _), vars_n = out_n
+            (logits_w, _), vars_w = out_w
+            # masked BN stats == stats of the literal narrow input
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=1e-5),
+                vars_n["batch_stats"], vars_w["batch_stats"])
+        else:
+            logits_n, _ = out_n
+            logits_w, _ = out_w
+        np.testing.assert_allclose(np.asarray(logits_w[:, :t]),
+                                   np.asarray(logits_n), atol=2e-5)
