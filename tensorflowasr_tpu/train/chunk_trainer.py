@@ -5,6 +5,10 @@ asr/models/chunk_conformer_blocks.py:1034-1131 in Z-yq/TensorflowASR) as a
 single jitted step over the mesh:
 
   loss = phone_ctc + txt_ctc + help_ctc            (:1081)
+    reduced over the batch by SUM, not mean — the reference hands the
+    [B,1] loss vector to keras optimizer.minimize (:1083) and
+    tape.gradient sums vector losses (``loss_reduction: sum``, default;
+    "mean" kept as an ablation knob)
     phone_ctc: picker phone logits vs phone labels over encoder frames
     txt_ctc:   char decoder on helper(feature_pick(...)) vs char labels.
                Input length is controlled by ``txt_ctc_length``:
@@ -65,7 +69,8 @@ def _chunk_ctc_acc(labels: jnp.ndarray, decoded: jnp.ndarray) -> jnp.ndarray:
 
 def _loss_and_metrics(model: ChunkConformer, params, batch_stats, batch,
                       dropout_rng, max_pick, training: bool,
-                      txt_ctc_length: str = "padded"):
+                      txt_ctc_length: str = "padded",
+                      loss_reduction: str = "sum"):
     # max_pick None = reference semantics: pick capacity can never truncate
     # (feature_pick uses all encoder frames; the reference grows its buffer
     # to max(actual picks, label width), :920-923) — the dynamic part of
@@ -110,7 +115,16 @@ def _loss_and_metrics(model: ChunkConformer, params, batch_stats, batch,
     help_loss = ctc_loss(fwd["help_logits"], batch["extra_phone_length"],
                          batch["extra_chars"], batch["extra_char_length"],
                          blank_id=char_blank, prob_floor=1e-7)
-    total = jnp.mean(phone_loss + txt_loss + help_loss)
+    # "sum" is exact reference parity: its train_step hands the [B,1] loss
+    # VECTOR to keras optimizer.minimize (:1083), whose tape.gradient sums
+    # components — the chunk family trains on the batch SUM (verified
+    # against tf_keras: vector-loss minimize == sum-loss minimize), unlike
+    # the offline family's compute_average_loss. Adam mostly cancels the
+    # 16x scale, EXCEPT where sqrt(v_hat) ~ epsilon — exactly the tiny
+    # early char-branch gradients, where mean-reduction warms up slower.
+    per_ex = phone_loss + txt_loss + help_loss
+    total = (jnp.sum(per_ex) if loss_reduction == "sum"
+             else jnp.mean(per_ex))
 
     phone_dec, _ = ctc_greedy_decode(fwd["phone_logits"],
                                      batch["input_length"],
@@ -124,7 +138,7 @@ def _loss_and_metrics(model: ChunkConformer, params, batch_stats, batch,
         "phone_loss": jnp.mean(phone_loss),
         "txt_loss": jnp.mean(txt_loss),
         "help_loss": jnp.mean(help_loss),
-        "train_loss": total,
+        "train_loss": jnp.mean(per_ex),   # logged as mean (readable)
         "phone_acc": _chunk_ctc_acc(batch["phones"], phone_dec),
         "txt_acc": _chunk_ctc_acc(batch["chars"], txt_dec),
         "help_acc": _chunk_ctc_acc(batch["extra_chars"], help_dec),
@@ -134,7 +148,8 @@ def _loss_and_metrics(model: ChunkConformer, params, batch_stats, batch,
 
 def make_chunk_train_step(model: ChunkConformer, max_pick: int,
                           donate: bool = True,
-                          txt_ctc_length: str = "padded") -> Callable:
+                          txt_ctc_length: str = "padded",
+                          loss_reduction: str = "sum") -> Callable:
     """Returns jitted (state, batch, rng) -> (state, metrics)."""
 
     def step(state: ASRTrainState, batch: Dict[str, jnp.ndarray],
@@ -143,7 +158,7 @@ def make_chunk_train_step(model: ChunkConformer, max_pick: int,
         grad_fn = jax.value_and_grad(
             lambda p: _loss_and_metrics(model, p, state.batch_stats, batch,
                                         dropout_rng, max_pick, True,
-                                        txt_ctc_length),
+                                        txt_ctc_length, loss_reduction),
             has_aux=True)
         (_, (metrics, new_stats)), grads = grad_fn(state.params)
         state = state.apply_gradients(grads=grads)
@@ -212,8 +227,10 @@ class ChunkTrainer(TrainerBase):
         self.mesh = mesh
         self.tx = make_optimizer(config["optimizer_config"])
         self.txt_ctc_length = cfg_get(rc, "txt_ctc_length", "padded")
+        self.loss_reduction = cfg_get(rc, "loss_reduction", "sum")
         self.train_step = make_chunk_train_step(
-            self.model, max_pick, txt_ctc_length=self.txt_ctc_length)
+            self.model, max_pick, txt_ctc_length=self.txt_ctc_length,
+            loss_reduction=self.loss_reduction)
         self.eval_step = make_chunk_eval_step(
             self.model, max_pick, txt_ctc_length=self.txt_ctc_length)
         # inference: None = all encoder frames can be picked (the
