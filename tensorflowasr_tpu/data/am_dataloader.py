@@ -89,6 +89,10 @@ class AMDataLoader:
 
         self.batch = int(cfg_get(rc, "batch_size", 16))
         self.only_chinese = bool(sc.get("only_chinese", False))
+        # reference am_dataloader.py:181 appends endid to translator
+        # targets; the chunk loader (chunk_dataloader.py:353) does not —
+        # ChunkDataLoader overrides this to False
+        self.append_char_endid = True
         self.wav_max_duration = float(sc.get("wav_max_duration", 16))
         self.streaming = bool(sc.get("streaming", False))
         self.rng = np.random.default_rng(seed)
@@ -229,8 +233,12 @@ class AMDataLoader:
             if peak > 0:
                 wav = wav / peak
         phone_ids = self.phone_featurizer.extract(py)
-        char_ids = (self.text_featurizer.extract(chars)
-                    + [self.text_featurizer.endid()])
+        # offline/streaming translator targets end in </S>
+        # (am_dataloader.py:181 appends endid); the chunk loader extracts
+        # plain chars with no stop token (chunk_dataloader.py:353)
+        char_ids = self.text_featurizer.extract(chars)
+        if self.append_char_endid:
+            char_ids = char_ids + [self.text_featurizer.endid()]
         if self._input_length(len(wav)) < len(phone_ids):
             return None
         return wav, phone_ids, char_ids

@@ -30,6 +30,10 @@ class ChunkDataLoader(AMDataLoader):
                  chunk_num: int = 16, **kwargs):
         super().__init__(config, phone_featurizer, text_featurizer, **kwargs)
         sc = config["speech_config"] or {}
+        # reference chunk labels are plain chars — no stop token
+        # (chunk_dataloader.py:353 extract() vs am_dataloader.py:181's
+        # +endid): the char branch neither learns nor is scored on </S>
+        self.append_char_endid = False
         hop = self.featurizer.hop_size
         self.chunk_samples = chunk_num * hop
         self.sub_length = chunk_num // self.featurizer.reduction_factor
@@ -61,9 +65,10 @@ class ChunkDataLoader(AMDataLoader):
                      else list(txt))
             if not self._check_valid(chars, self.text_featurizer):
                 continue
+            # plain chars, like the main branch (reference
+            # chunk_dataloader.py:357 extracts without any stop token)
             return (self.phone_featurizer.extract(py),
-                    self.text_featurizer.extract(chars)
-                    + [self.text_featurizer.endid()])
+                    self.text_featurizer.extract(chars))
         raise RuntimeError("could not sample a valid extra text line")
 
     def generate(self, train: bool = True,
