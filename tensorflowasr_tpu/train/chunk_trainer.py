@@ -82,9 +82,14 @@ def _loss_and_metrics(model: ChunkConformer, params, batch_stats, batch,
                else False)
     rngs = {"dropout": dropout_rng} if training else None
 
+    # label width = the batch's max ACTUAL phone length — the reference's
+    # max_T is tf.shape(phone_labels)[1] on a pad-to-batch-max tensor
+    # (:1041), NOT our static bucket cap (~2.5x larger on short buckets);
+    # training with bucket-cap slack then evaluating at T = max(picks)
+    # mass-deletes chars placed in the never-available-at-eval slack
     out = model.apply(variables, batch["wav"], batch["extra_phones"],
                       max_pick, training=training,
-                      label_width=batch["phones"].shape[1], rngs=rngs,
+                      label_width=jnp.max(batch["phone_length"]), rngs=rngs,
                       mutable=mutable, method=ChunkConformer.train_forward)
     if mutable:
         fwd, new_vars = out
