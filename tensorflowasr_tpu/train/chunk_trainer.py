@@ -259,7 +259,11 @@ class ChunkTrainer(TrainerBase):
             jnp.asarray(example_batch["wav"][:1]),
             jnp.asarray(example_batch["extra_phones"][:1]),
             self.max_pick,
-            False, label_width=example_batch["phones"].shape[1],
+            False,
+            # any width works for shape tracing; serving/eval callers
+            # pass minimal examples without labels
+            label_width=(example_batch["phones"].shape[1]
+                         if "phones" in example_batch else 8),
             method=ChunkConformer.train_forward)
         state = ASRTrainState.create(
             apply_fn=self.model.apply, params=variables["params"],
