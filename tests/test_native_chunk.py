@@ -37,7 +37,10 @@ def cpp_build(tmp_path_factory):
     return build
 
 
-def _train_chunk_fixture(model, cfg, steps=400):
+def _train_chunk_fixture(model, cfg, steps=800):
+    # 800: the round-5 glorot/keras init parity changed the tiny
+    # fixture's 400-step overfit enough to drop a phone token —
+    # train until the decode is decisive again
     """Overfit two tone utterances so logits have decisive gaps: the
     bf16/int8 variants compare a quantized C++ decode against the f32 JAX
     session, so a random-init fixture's near-tie argmaxes would make
